@@ -1,0 +1,227 @@
+"""L3 audio and vision convolutional towers as flax modules.
+
+Architecture parity with reference l3embedding/audio_model.py and
+vision_model.py; implementation is TPU-native: NHWC layout, spectrogram
+front-ends computed by the MXU matmul formulation in ops/frontend (the
+reference embeds kapre TF-op layers in the graph instead), and BatchNorm
+statistics handled functionally through flax's mutable collections.
+
+Parity quirks intentionally reproduced:
+  * The "embedding layer" is the raw output of the final conv — before
+    its BatchNorm and ReLU (reference audio_model.py:482-483 pools
+    `embed_layer.output` directly). Towers `sow` that tensor under
+    'intermediates' as '{audio,vision}_embedding_layer'.
+  * Vision block 1 applies ReLU *before* BatchNorm on its second conv
+    (reference vision_model.py:41-43) — all other blocks are conv→BN→ReLU.
+  * Audio max-pools use 'valid' padding; vision pools use 'same'
+    (reference audio_model.py:59 vs vision_model.py:44).
+  * BatchNorm uses Keras 2.0.9 defaults: momentum=0.99, epsilon=1e-3.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import frontend
+
+BN_MOMENTUM = 0.99
+BN_EPS = 1e-3
+KERNEL_INIT = nn.initializers.he_normal()
+
+
+def _max_pool(x, window, strides=None, padding="VALID"):
+    strides = strides or window
+    return nn.max_pool(x, window_shape=window, strides=strides, padding=padding)
+
+
+class ConvBNRelu(nn.Module):
+    """3x3 (default) conv → BN → ReLU, with optional order quirks."""
+
+    filters: int
+    kernel: Sequence[int] = (3, 3)
+    conv_padding: str = "SAME"
+    relu_before_bn: bool = False  # vision block-1 second conv quirk
+    conv_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(
+            self.filters,
+            tuple(self.kernel),
+            padding=self.conv_padding,
+            kernel_init=KERNEL_INIT,
+            name=self.conv_name,
+        )(x)
+        bn = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+        )
+        if self.relu_before_bn:
+            x = nn.relu(x)
+            x = bn(x)
+        else:
+            x = bn(x)
+            x = nn.relu(x)
+        return x
+
+
+class L3AudioTower(nn.Module):
+    """The 4-block L3 audio subnetwork, parameterized over its front-end.
+
+    frontend_kind selects the DSP preprocessing:
+      'linear'    — |STFT| + L3 log norm            (cnn_L3_orig)
+      'linear_db' — dB |STFT| + input BN            (cnn_L3_kapredbinputbn)
+      'mel'       — dB mel (n_mels) + input BN      (cnn_L3_melspec1/2)
+    """
+
+    frontend_kind: str = "linear"
+    n_mels: int = 128
+    final_pool: Sequence[int] = (32, 24)
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (B, 1, 48000) float32 in [-1, 1] (reference input convention,
+        # audio_model.py:35) or (B, 48000).
+        if x.ndim == 3:
+            x = x[:, 0, :]
+
+        if self.frontend_kind == "linear":
+            y = frontend.spectrogram(
+                x, frontend.SpectrogramConfig(), precision=self.precision
+            )
+            y = frontend.l3_log_norm(y)
+        elif self.frontend_kind == "linear_db":
+            y = frontend.spectrogram(
+                x, frontend.SpectrogramConfig(decibel=True), precision=self.precision
+            )
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+            )(y)
+        elif self.frontend_kind == "mel":
+            y = frontend.melspectrogram(
+                x, frontend.MelConfig(n_mels=self.n_mels), precision=self.precision
+            )
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+            )(y)
+        else:
+            raise ValueError(f"unknown frontend_kind {self.frontend_kind!r}")
+
+        for filters in (64, 128, 256):
+            y = ConvBNRelu(filters)(y, train)
+            y = ConvBNRelu(filters)(y, train)
+            y = _max_pool(y, (2, 2))
+
+        y = ConvBNRelu(512)(y, train)
+        # The embedding conv: raw output is the embedding feature map.
+        y = nn.Conv(
+            512,
+            (3, 3),
+            padding="SAME",
+            kernel_init=KERNEL_INIT,
+            name="audio_embedding_layer",
+        )(y)
+        self.sow("intermediates", "embedding_features", y)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+        )(y)
+        y = nn.relu(y)
+        y = _max_pool(y, tuple(self.final_pool))
+        return y.reshape((y.shape[0], -1))
+
+
+class L3VisionTower(nn.Module):
+    """The 4-block L3 vision subnetwork (224x224x3 → 512-d).
+
+    input_bn=True adds BatchNorm on the raw input (the `_inputbn_` variant
+    used by all non-orig AVC models, reference vision_model.py:123-124).
+    """
+
+    input_bn: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = x
+        if self.input_bn:
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+            )(y)
+
+        # Block 1 carries the reference's relu-before-BN quirk on its
+        # second conv (vision_model.py:41-43).
+        y = ConvBNRelu(64)(y, train)
+        y = ConvBNRelu(64, relu_before_bn=True)(y, train)
+        y = _max_pool(y, (2, 2), padding="SAME")
+
+        for filters in (128, 256):
+            y = ConvBNRelu(filters)(y, train)
+            y = ConvBNRelu(filters)(y, train)
+            y = _max_pool(y, (2, 2), padding="SAME")
+
+        y = ConvBNRelu(512)(y, train)
+        y = nn.Conv(
+            512,
+            (3, 3),
+            padding="SAME",
+            kernel_init=KERNEL_INIT,
+            name="vision_embedding_layer",
+        )(y)
+        self.sow("intermediates", "embedding_features", y)
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+        )(y)
+        y = nn.relu(y)
+        y = _max_pool(y, (28, 28), padding="SAME")
+        return y.reshape((y.shape[0], -1))
+
+
+class TinyL3AudioTower(nn.Module):
+    """Miniature audio tower for cheap end-to-end validation
+    (reference audio_model.py:490-541)."""
+
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.ndim == 3:
+            x = x[:, 0, :]
+        cfg = frontend.SpectrogramConfig(
+            n_dft=512, hop=240, n_win=480, padding="valid", power=1.0, decibel=True
+        )
+        y = frontend.spectrogram(x, cfg, precision=self.precision)
+        for i in range(3):
+            name = "embedding_conv" if i == 2 else None
+            y = nn.Conv(
+                10, (5, 5), padding="VALID", kernel_init=KERNEL_INIT, name=name
+            )(y)
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+            )(y)
+            y = nn.relu(y)
+            y = _max_pool(y, (3, 3))
+        self.sow("intermediates", "embedding_features", y)
+        return y.reshape((y.shape[0], -1))
+
+
+class TinyL3VisionTower(nn.Module):
+    """Miniature vision tower (reference vision_model.py:221-265)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = x
+        for i in range(3):
+            name = "embedding_conv" if i == 2 else None
+            y = nn.Conv(
+                10, (5, 5), padding="VALID", kernel_init=KERNEL_INIT, name=name
+            )(y)
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+            )(y)
+            y = nn.relu(y)
+            y = _max_pool(y, (3, 3))
+        self.sow("intermediates", "embedding_features", y)
+        return y.reshape((y.shape[0], -1))

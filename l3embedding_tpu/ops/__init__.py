@@ -1,0 +1,3 @@
+"""TPU-native compute ops: DSP front-ends, image ops, Pallas kernels."""
+
+from . import dsp_ref, frontend  # noqa: F401

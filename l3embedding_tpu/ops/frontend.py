@@ -1,0 +1,175 @@
+"""TPU-native spectrogram / mel front-ends (JAX/XLA).
+
+The reference computes spectrograms inside the model graph with kapre's
+TF conv-op layers (reference l3embedding/audio_model.py:39-43, 257-259).
+Here the same math is expressed the TPU way:
+
+    waveform --frame(gather)--> (B, T, n_dft) --matmul--> DFT re/im
+             --square+add--> power --matmul--> mel --log--> features
+
+Both matmuls land on the MXU; the elementwise stages fuse into them under
+jit. Basis matrices (windowed DFT bank, mel filterbank) are numpy
+constants folded into the compiled program. A fused Pallas kernel for the
+hot extraction path lives in `pallas_frontend.py`; this module is the
+always-available XLA formulation and the semantic reference for it.
+
+All functions are shape-static and jit-compatible. Waveform inputs are
+(B, n_samples) float32 in [-1, 1]; outputs are NHWC feature maps
+(B, n_freq_or_mels, n_frames, 1) matching the reference's layout.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import dsp_ref
+
+
+@dataclass(frozen=True)
+class SpectrogramConfig:
+    """Linear-spectrogram front-end configuration.
+
+    Defaults replicate cnn_L3_orig's front-end
+    (reference audio_model.py:28-40).
+    """
+
+    n_dft: int = dsp_ref.L3_N_DFT_LINEAR
+    hop: int = dsp_ref.L3_HOP
+    padding: str = "valid"
+    power: float = 1.0
+    n_win: int | None = None
+    decibel: bool = False
+
+    @property
+    def n_freq(self) -> int:
+        return self.n_dft // 2 + 1
+
+    def n_frames(self, n_samples: int) -> int:
+        return dsp_ref.num_frames(n_samples, self.n_dft, self.hop, self.padding)
+
+
+@dataclass(frozen=True)
+class MelConfig:
+    """Mel-spectrogram front-end configuration.
+
+    Defaults replicate cnn_L3_melspec1 (n_mels=128); melspec2 uses
+    n_mels=256 (reference audio_model.py:245-259, 355-369).
+    """
+
+    sr: int = dsp_ref.L3_SAMPLE_RATE
+    n_dft: int = dsp_ref.L3_N_DFT_MEL
+    hop: int = dsp_ref.L3_HOP
+    n_mels: int = 128
+    padding: str = "same"
+    power_melgram: float = 1.0
+    htk: bool = True
+    decibel: bool = True
+    fmin: float = 0.0
+    fmax: float | None = None
+
+    def n_frames(self, n_samples: int) -> int:
+        return dsp_ref.num_frames(n_samples, self.n_dft, self.hop, self.padding)
+
+
+@functools.lru_cache(maxsize=None)
+def _stft_basis_f32(n_dft: int, n_win: int | None) -> tuple[np.ndarray, np.ndarray]:
+    real, imag = dsp_ref.stft_basis(n_dft, n_win)
+    return real.astype(np.float32), imag.astype(np.float32)
+
+
+@functools.lru_cache(maxsize=None)
+def _mel_matrix_f32(sr, n_dft, n_mels, fmin, fmax, htk) -> np.ndarray:
+    # Transposed to (n_freq, n_mels) so the mel stage is a plain
+    # frames-major matmul: (B*T, n_freq) @ (n_freq, n_mels).
+    return dsp_ref.mel_filterbank(sr, n_dft, n_mels, fmin, fmax, htk).T.astype(
+        np.float32
+    )
+
+
+def frame_signal(x: jnp.ndarray, n_dft: int, hop: int, padding: str) -> jnp.ndarray:
+    """(B, n) waveforms → (B, n_frames, n_dft) overlapping frames.
+
+    A static gather: XLA lowers this to an efficient strided load, and the
+    result feeds straight into the DFT matmul.
+    """
+    n = x.shape[-1]
+    if padding == "same":
+        left, right = dsp_ref.same_pad_amounts(n, n_dft, hop)
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(left, right)])
+        n = n + left + right
+    frames = dsp_ref.num_frames(n, n_dft, hop, "valid")
+    idx = np.arange(frames)[:, None] * hop + np.arange(n_dft)[None, :]
+    return jnp.take(x, jnp.asarray(idx.reshape(-1)), axis=-1).reshape(
+        x.shape[:-1] + (frames, n_dft)
+    )
+
+
+def power_frames(
+    x: jnp.ndarray,
+    n_dft: int,
+    hop: int,
+    padding: str,
+    n_win: int | None = None,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """(B, n) → (B, n_frames, n_freq) power spectrogram, frames-major."""
+    frames = frame_signal(x, n_dft, hop, padding)
+    real, imag = _stft_basis_f32(n_dft, n_win)
+    re = jnp.matmul(frames, jnp.asarray(real), precision=precision)
+    im = jnp.matmul(frames, jnp.asarray(imag), precision=precision)
+    return re * re + im * im
+
+
+def amplitude_to_db(
+    x: jnp.ndarray,
+    amin: float = 1e-10,
+    dynamic_range: float = 80.0,
+    sample_axes: tuple[int, ...] = (1, 2),
+) -> jnp.ndarray:
+    """Per-sample max-referenced dB scaling (see dsp_ref.amplitude_to_db)."""
+    log_spec = 10.0 * jnp.log10(jnp.maximum(x, amin))
+    ref = jnp.max(log_spec, axis=sample_axes, keepdims=True)
+    return jnp.maximum(log_spec - ref, -dynamic_range)
+
+
+def l3_log_norm(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """L3-paper normalization (reference audio_model.py:43)."""
+    return jnp.log(jnp.maximum(x, eps)) / 5.0
+
+
+def spectrogram(
+    x: jnp.ndarray,
+    cfg: SpectrogramConfig = SpectrogramConfig(),
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """(B, n) waveforms → (B, n_freq, n_frames, 1) |STFT|^power features."""
+    p = power_frames(x, cfg.n_dft, cfg.hop, cfg.padding, cfg.n_win, precision)
+    s = p ** (cfg.power / 2.0) if cfg.power != 2.0 else p
+    s = jnp.transpose(s, (0, 2, 1))[..., None]
+    if cfg.decibel:
+        s = amplitude_to_db(s)
+    return s
+
+
+def melspectrogram(
+    x: jnp.ndarray,
+    cfg: MelConfig = MelConfig(),
+    precision=jax.lax.Precision.HIGHEST,
+) -> jnp.ndarray:
+    """(B, n) waveforms → (B, n_mels, n_frames, 1) mel features."""
+    p = power_frames(x, cfg.n_dft, cfg.hop, cfg.padding, None, precision)
+    mel_t = jnp.asarray(
+        _mel_matrix_f32(cfg.sr, cfg.n_dft, cfg.n_mels, cfg.fmin, cfg.fmax, cfg.htk)
+    )
+    m = jnp.matmul(p, mel_t, precision=precision)  # (B, T, n_mels)
+    if cfg.power_melgram != 2.0:
+        m = m ** (cfg.power_melgram / 2.0)
+    m = jnp.transpose(m, (0, 2, 1))[..., None]
+    if cfg.decibel:
+        m = amplitude_to_db(m)
+    return m
