@@ -1,0 +1,153 @@
+"""Training input pipeline: streaming batches out of HDF5 blob files.
+
+Batch-assembly semantics are identical to the reference generator
+(reference l3embedding/train.py:134-195): files are cycled in seeded
+shuffle order, batches are assembled across blob boundaries, and
+`start_batch_idx` fast-forwards deterministically for resume (reading
+only blob *lengths*, never sample data, for the skipped range — the
+reference reads metadata too but we avoid even slicing).
+
+TPU-native difference: batches stay in storage dtypes (uint8/int16) —
+float conversion happens on device inside the jitted step — and an
+`AsyncBatchPipeline` overlaps HDF5 reads with device compute via a
+background thread + bounded queue, where the reference's generator is
+synchronous with the training loop (SURVEY.md §6 names this the main
+throughput lever).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import random
+import threading
+
+import h5py
+import numpy as np
+
+DEFAULT_KEYS = ("audio", "video", "label")
+
+
+def cycle_shuffle(iterable, shuffle=True, rng=None):
+    """Yield items forever, reshuffling after each pass
+    (reference train.py:134-139)."""
+    rng = rng or random
+    lst = list(iterable)
+    while True:
+        yield from lst
+        if shuffle:
+            rng.shuffle(lst)
+
+
+def data_generator(
+    data_dir,
+    batch_size=512,
+    random_state=20180123,
+    start_batch_idx=None,
+    keys=None,
+):
+    """Yields dict batches of exactly batch_size, concatenated across blob
+    files, in seeded cycle_shuffle order. Raw dtypes (no float conversion).
+    """
+    rng = random.Random(random_state)
+    keys = list(keys) if keys else list(DEFAULT_KEYS)
+
+    parts = []  # list of per-key dict chunks
+    curr = 0
+    batch_idx = 0
+
+    file_list = sorted(os.listdir(data_dir))
+    for fname in cycle_shuffle(file_list, rng=rng):
+        path = os.path.join(data_dir, fname)
+        with h5py.File(path, "r") as blob:
+            blob_size = len(blob["label"])
+            start = 0
+            while start < blob_size:
+                end = min(start + batch_size - curr, blob_size)
+                live = start_batch_idx is None or batch_idx >= start_batch_idx
+                if live:
+                    parts.append({k: blob[k][start:end] for k in keys})
+                curr += end - start
+                start = end
+                if curr == batch_size:
+                    if live:
+                        if len(parts) == 1:
+                            yield parts[0]
+                        else:
+                            yield {
+                                k: np.concatenate([p[k] for p in parts])
+                                for k in keys
+                            }
+                    batch_idx += 1
+                    curr = 0
+                    parts = []
+
+
+def single_epoch_data_generator(data_dir, epoch_size, **kwargs):
+    """Restarts the (identically seeded) stream every epoch_size batches —
+    the reference's validation-stream behavior (train.py:198-205)."""
+    while True:
+        gen = data_generator(data_dir, **kwargs)
+        for idx, item in enumerate(gen):
+            yield item
+            if (idx + 1) == epoch_size:
+                break
+
+
+class AsyncBatchPipeline:
+    """Background-thread prefetcher over any batch generator.
+
+    Keeps up to `prefetch` host batches queued so HDF5/decode latency
+    overlaps device compute. Call `close()` (or use as context manager)
+    to stop the worker.
+    """
+
+    def __init__(self, generator, prefetch: int = 4):
+        self._gen = generator
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._stop = threading.Event()
+        self._exc = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        try:
+            for item in self._gen:
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.25)
+                        break
+                    except queue.Full:
+                        continue
+                if self._stop.is_set():
+                    return
+        except BaseException as e:  # surfaced on next __next__
+            self._exc = e
+        finally:
+            self._q.put(None)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is None:
+            if self._exc is not None:
+                raise self._exc
+            raise StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -1,0 +1,343 @@
+"""AVC training orchestration — the `03_train_embedding` entry point.
+
+Same experiment-management surface as the reference train()
+(reference l3embedding/train.py:218-421): model_id derived from the data
+dir name, timestamped run dir, config.json with full param capture,
+history_csvlog.csv, loss-history pickles, 4-role checkpoints, and
+deterministic resume via --continue-model-dir.
+
+TPU-native core: one jitted train step under pjit data parallelism on a
+('data','model') mesh; BN stats sync over ICI; donated state buffers;
+async host pipeline (HDF5 reads on a background thread, storage-dtype
+transfer, on-device float conversion).
+
+The `gpus` knob is accepted for CLI compatibility but is advisory only:
+parallelism follows the physical device mesh (SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+import csv
+import datetime
+import getpass
+import json
+import logging
+import os
+import pickle
+import subprocess
+import time
+
+import jax
+import numpy as np
+
+from ..models import build_model
+from ..parallel import create_mesh, replicate, shard_batch
+from ..utils.log import init_console_logger, init_file_logger
+from ..utils.tracker import JSONLTracker, NullTracker
+from . import checkpoints
+from .data import AsyncBatchPipeline, data_generator, single_epoch_data_generator
+from .state import create_train_state
+from .steps import make_eval_step, make_train_step
+
+LOGGER = logging.getLogger("l3embedding_tpu")
+LOGGER.setLevel(logging.DEBUG)
+
+HISTORY_CSV_FIELDS = ["epoch", "acc", "loss", "val_acc", "val_loss"]
+
+
+def get_git_commit() -> str:
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                capture_output=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=10,
+            )
+            .stdout.decode()
+            .strip()
+            or "unknown"
+        )
+    except Exception:
+        return "unknown"
+
+
+def get_restart_info(history_path):
+    """(last_epoch, last_val_acc, last_val_loss) from the history CSV
+    (reference train.py:208-215)."""
+    last = None
+    with open(history_path) as f:
+        for row in csv.DictReader(f):
+            last = row
+    return int(last["epoch"]), float(last["val_acc"]), float(last["val_loss"])
+
+
+def _append_history_row(path, row):
+    exists = os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=HISTORY_CSV_FIELDS)
+        if not exists:
+            w.writeheader()
+        w.writerow(row)
+
+
+def train(
+    train_data_dir,
+    validation_data_dir,
+    output_dir,
+    num_epochs=150,
+    train_epoch_size=512,
+    validation_epoch_size=1024,
+    train_batch_size=64,
+    validation_batch_size=64,
+    model_type="cnn_L3_orig",
+    random_state=20180123,
+    learning_rate=1e-4,
+    verbose=False,
+    checkpoint_interval=10,
+    log_path=None,
+    disable_logging=False,
+    gpus=1,
+    continue_model_dir=None,
+    gsheet_id=None,
+    google_dev_app_name=None,
+    # TPU-native extras (additive; defaults preserve reference behavior)
+    prefetch_batches=4,
+    use_mesh=True,
+):
+    if not LOGGER.handlers:
+        init_console_logger(LOGGER, verbose=verbose)
+        if not disable_logging:
+            init_file_logger(LOGGER, log_path=log_path)
+    LOGGER.debug("Initialized logging.")
+
+    # Model id from data dir name (reference train.py:231-234).
+    data_subset_name = os.path.basename(os.path.normpath(train_data_dir))
+    if "_" in data_subset_name:
+        data_subset_name = data_subset_name[: data_subset_name.rindex("_")]
+    model_id = os.path.join(data_subset_name, model_type)
+
+    param_dict = {
+        "username": getpass.getuser(),
+        "train_data_dir": train_data_dir,
+        "validation_data_dir": validation_data_dir,
+        "model_id": model_id,
+        "output_dir": output_dir,
+        "num_epochs": num_epochs,
+        "train_epoch_size": train_epoch_size,
+        "validation_epoch_size": validation_epoch_size,
+        "train_batch_size": train_batch_size,
+        "validation_batch_size": validation_batch_size,
+        "model_type": model_type,
+        "random_state": random_state,
+        "learning_rate": learning_rate,
+        "verbose": verbose,
+        "checkpoint_interval": checkpoint_interval,
+        "log_path": log_path,
+        "disable_logging": disable_logging,
+        "gpus": gpus,
+        "continue_model_dir": continue_model_dir,
+        "git_commit": get_git_commit(),
+        "gsheet_id": gsheet_id,
+        "google_dev_app_name": google_dev_app_name,
+        "backend": "jax-tpu",
+        "num_devices": jax.device_count(),
+    }
+    LOGGER.info("Training with the following arguments: %s", param_dict)
+
+    spec = build_model(model_type)
+    model = spec.module()
+
+    if continue_model_dir:
+        model_dir = continue_model_dir
+    else:
+        model_dir = os.path.join(
+            output_dir,
+            "embedding",
+            model_id,
+            datetime.datetime.now().strftime("%Y%m%d%H%M%S"),
+        )
+    os.makedirs(model_dir, exist_ok=True)
+    param_dict["model_dir"] = model_dir
+
+    with open(os.path.join(model_dir, "config.json"), "w") as fd:
+        json.dump(param_dict, fd, indent=2)
+    # Architecture descriptor (replaces the Keras pickled spec,
+    # reference train.py:306-314): everything needed to rebuild.
+    with open(os.path.join(model_dir, "model.json"), "w") as fd:
+        json.dump(
+            {
+                "framework": "l3embedding_tpu",
+                "model_type": model_type,
+                "audio_input_shape": list(spec.audio_input_shape),
+                "video_input_shape": list(spec.video_input_shape),
+                "audio_embedding_pooling": {
+                    k: list(v) for k, v in spec.audio_embedding_pooling.items()
+                },
+            },
+            fd,
+            indent=2,
+        )
+
+    # --- State ---
+    mesh = create_mesh() if use_mesh else None
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(random_state),
+        spec.video_input_shape,
+        spec.audio_input_shape,
+        learning_rate,
+    )
+
+    initial_epoch = 0
+    best_val_acc = float("-inf")
+    best_val_loss = float("inf")
+    best_train_acc = float("-inf")
+    best_train_loss = float("inf")
+    if continue_model_dir is not None:
+        hist_path = os.path.join(continue_model_dir, "history_csvlog.csv")
+        last_epoch_idx, last_val_acc, last_val_loss = get_restart_info(hist_path)
+        initial_epoch = last_epoch_idx + 1
+        best_val_acc = last_val_acc
+        best_val_loss = last_val_loss
+        state = checkpoints.load_state(
+            os.path.join(continue_model_dir, checkpoints.LATEST), state
+        )
+        LOGGER.info("Resuming from epoch %d", initial_epoch)
+
+    if mesh is not None:
+        state = replicate(state, mesh)
+
+    train_step = make_train_step(model)
+    eval_step = make_eval_step(model)
+
+    if gsheet_id:
+        tracker = JSONLTracker(os.path.join(model_dir, "experiments.jsonl"))
+        tracker.upsert(dict(param_dict))
+    else:
+        tracker = NullTracker()
+
+    # --- Data ---
+    if continue_model_dir is not None:
+        train_start_batch_idx = train_epoch_size * initial_epoch
+    else:
+        train_start_batch_idx = None
+
+    train_gen = data_generator(
+        train_data_dir,
+        batch_size=train_batch_size,
+        random_state=random_state,
+        start_batch_idx=train_start_batch_idx,
+    )
+
+    history = {"acc": [], "loss": [], "val_acc": [], "val_loss": []}
+    epoch_times, batch_times = [], []
+    history_csv = os.path.join(model_dir, "history_csvlog.csv")
+    history_checkpoint = os.path.join(model_dir, "history_checkpoint.pkl")
+
+    def put(batch):
+        return shard_batch(batch, mesh) if mesh is not None else batch
+
+    with AsyncBatchPipeline(train_gen, prefetch=prefetch_batches) as train_pipe:
+        for epoch in range(initial_epoch, num_epochs):
+            epoch_start = time.time()
+            tr_loss, tr_acc = [], []
+            for _ in range(train_epoch_size):
+                t0 = time.perf_counter()
+                batch = put(next(train_pipe))
+                state, metrics = train_step(state, batch)
+                metrics = jax.device_get(metrics)
+                batch_times.append(time.perf_counter() - t0)
+                tr_loss.append(float(metrics["loss"] + metrics["reg_loss"]))
+                tr_acc.append(float(metrics["acc"]))
+
+            # Validation: fresh identically-seeded stream every epoch
+            # (reference train.py:198-205, 391-395).
+            val_gen = single_epoch_data_generator(
+                validation_data_dir,
+                validation_epoch_size,
+                batch_size=validation_batch_size,
+                random_state=random_state,
+            )
+            va_loss, va_acc = [], []
+            with AsyncBatchPipeline(val_gen, prefetch=prefetch_batches) as val_pipe:
+                for _ in range(validation_epoch_size):
+                    metrics = jax.device_get(eval_step(state, put(next(val_pipe))))
+                    va_loss.append(float(metrics["loss"]))
+                    va_acc.append(float(metrics["acc"]))
+
+            epoch_time = time.time() - epoch_start
+            epoch_times.append(epoch_time)
+
+            row = {
+                "epoch": epoch,
+                "acc": float(np.mean(tr_acc)),
+                "loss": float(np.mean(tr_loss)),
+                "val_acc": float(np.mean(va_acc)),
+                "val_loss": float(np.mean(va_loss)),
+            }
+            LOGGER.info(
+                "Epoch %d: loss=%.4f acc=%.4f val_loss=%.4f val_acc=%.4f "
+                "(%.1fs, %.1f pairs/s)",
+                epoch,
+                row["loss"],
+                row["acc"],
+                row["val_loss"],
+                row["val_acc"],
+                epoch_time,
+                train_epoch_size * train_batch_size / max(epoch_time, 1e-9),
+            )
+
+            # History artifacts (reference train.py:29-53, 363-365).
+            for k in ("acc", "loss", "val_acc", "val_loss"):
+                history[k].append(row[k])
+            _append_history_row(history_csv, row)
+            with open(history_checkpoint, "wb") as fp:
+                pickle.dump(
+                    {"loss": history["loss"], "val_loss": history["val_loss"]}, fp
+                )
+
+            # Checkpoint roles (reference train.py:326-355).
+            checkpoints.save_state(os.path.join(model_dir, checkpoints.LATEST), state)
+            if row["val_acc"] > best_val_acc:
+                best_val_acc = row["val_acc"]
+                checkpoints.save_state(
+                    os.path.join(model_dir, checkpoints.BEST_VALID_ACC), state
+                )
+            if row["val_loss"] < best_val_loss:
+                best_val_loss = row["val_loss"]
+                checkpoints.save_state(
+                    os.path.join(model_dir, checkpoints.BEST_VALID_LOSS), state
+                )
+            if (epoch + 1) % checkpoint_interval == 0:
+                checkpoints.save_state(
+                    os.path.join(
+                        model_dir, checkpoints.PERIODIC_FMT.format(epoch=epoch)
+                    ),
+                    state,
+                )
+
+            best_train_acc = max(best_train_acc, row["acc"])
+            best_train_loss = min(best_train_loss, row["loss"])
+            tracker.update(
+                model_dir,
+                {
+                    "latest_epoch": epoch,
+                    "latest_train_loss": row["loss"],
+                    "latest_validation_loss": row["val_loss"],
+                    "latest_train_acc": row["acc"],
+                    "latest_validation_acc": row["val_acc"],
+                    "best_train_loss": best_train_loss,
+                    "best_validation_loss": best_val_loss,
+                    "best_train_acc": best_train_acc,
+                    "best_validation_acc": best_val_acc,
+                },
+            )
+
+    LOGGER.info("Done training. Saving results to disk...")
+    history["epoch_times"] = epoch_times
+    history["batch_times"] = batch_times
+    with open(os.path.join(model_dir, "history.pkl"), "wb") as fd:
+        pickle.dump(history, fd)
+    LOGGER.info("Done!")
+    return model_dir, history

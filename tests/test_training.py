@@ -1,0 +1,161 @@
+"""End-to-end tiny_L3 AVC training tests: the cheap full-pipeline fixture
+(the reference's substitute for integration tests, SURVEY.md §4), plus
+data-generator determinism and checkpoint-resume parity."""
+
+import os
+import pickle
+
+import h5py
+import numpy as np
+import pytest
+
+from l3embedding_tpu.training.data import data_generator
+
+
+def make_synthetic_corpus(path, num_blobs=3, blob_size=24, seed=0):
+    rng = np.random.RandomState(seed)
+    os.makedirs(path, exist_ok=True)
+    for i in range(num_blobs):
+        with h5py.File(os.path.join(path, f"blob_{i}.h5"), "w") as f:
+            labels = rng.randint(0, 2, size=blob_size)
+            f.create_dataset(
+                "audio",
+                data=(rng.randn(blob_size, 1, 48000) * 3000).astype(np.int16),
+                compression="gzip",
+            )
+            f.create_dataset(
+                "video",
+                data=rng.randint(0, 256, size=(blob_size, 224, 224, 3)).astype(
+                    np.uint8
+                ),
+                compression="gzip",
+            )
+            f.create_dataset(
+                "label",
+                data=np.stack([labels, 1 - labels], axis=1).astype(np.float32),
+                compression="gzip",
+            )
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    train_dir = tmp_path_factory.mktemp("avc") / "train_h5"
+    valid_dir = tmp_path_factory.mktemp("avc") / "valid_h5"
+    make_synthetic_corpus(str(train_dir), num_blobs=3, blob_size=24, seed=0)
+    make_synthetic_corpus(str(valid_dir), num_blobs=1, blob_size=16, seed=1)
+    return str(train_dir), str(valid_dir)
+
+
+class TestDataGenerator:
+    def test_batch_assembly_across_blobs(self, corpus):
+        train_dir, _ = corpus
+        gen = data_generator(train_dir, batch_size=10, random_state=7)
+        batches = [next(gen) for _ in range(8)]
+        for b in batches:
+            assert b["audio"].shape == (10, 1, 48000)
+            assert b["audio"].dtype == np.int16
+            assert b["video"].shape == (10, 224, 224, 3)
+            assert b["video"].dtype == np.uint8
+            assert b["label"].shape == (10, 2)
+
+    def test_determinism_same_seed(self, corpus):
+        train_dir, _ = corpus
+        g1 = data_generator(train_dir, batch_size=8, random_state=42)
+        g2 = data_generator(train_dir, batch_size=8, random_state=42)
+        for _ in range(6):
+            b1, b2 = next(g1), next(g2)
+            np.testing.assert_array_equal(b1["audio"], b2["audio"])
+            np.testing.assert_array_equal(b1["label"], b2["label"])
+
+    def test_start_batch_idx_fast_forward(self, corpus):
+        # Resume contract (reference train.py:166-195): skipping k batches
+        # yields exactly the stream from batch k onward.
+        train_dir, _ = corpus
+        full = data_generator(train_dir, batch_size=8, random_state=42)
+        for _ in range(4):
+            next(full)
+        expected = next(full)
+        resumed = data_generator(
+            train_dir, batch_size=8, random_state=42, start_batch_idx=4
+        )
+        got = next(resumed)
+        np.testing.assert_array_equal(got["audio"], expected["audio"])
+        np.testing.assert_array_equal(got["video"], expected["video"])
+
+
+class TestTrainLoop:
+    @pytest.fixture(scope="class")
+    def run(self, corpus, tmp_path_factory):
+        from l3embedding_tpu.training.loop import train
+
+        train_dir, valid_dir = corpus
+        out = str(tmp_path_factory.mktemp("runs"))
+        model_dir, history = train(
+            train_dir,
+            valid_dir,
+            out,
+            num_epochs=2,
+            train_epoch_size=3,
+            validation_epoch_size=2,
+            train_batch_size=8,
+            validation_batch_size=8,
+            model_type="tiny_L3",
+            random_state=11,
+            learning_rate=1e-4,
+            checkpoint_interval=2,
+            disable_logging=True,
+        )
+        return model_dir, history
+
+    def test_artifacts(self, run):
+        model_dir, history = run
+        for fname in (
+            "config.json",
+            "model.json",
+            "history_csvlog.csv",
+            "history_checkpoint.pkl",
+            "history.pkl",
+            "model_latest.ckpt",
+            "model_best_valid_accuracy.ckpt",
+            "model_best_valid_loss.ckpt",
+            "model_checkpoint.01.ckpt",
+        ):
+            assert os.path.exists(os.path.join(model_dir, fname)), fname
+        assert len(history["loss"]) == 2
+        assert all(np.isfinite(history["loss"]))
+        with open(os.path.join(model_dir, "history.pkl"), "rb") as f:
+            saved = pickle.load(f)
+        assert saved["val_acc"] == history["val_acc"]
+
+    def test_resume(self, run, corpus):
+        from l3embedding_tpu.training.loop import get_restart_info, train
+
+        model_dir, _ = run
+        train_dir, valid_dir = corpus
+        epoch, val_acc, val_loss = get_restart_info(
+            os.path.join(model_dir, "history_csvlog.csv")
+        )
+        assert epoch == 1
+        _, history = train(
+            train_dir,
+            valid_dir,
+            "unused",
+            num_epochs=3,
+            train_epoch_size=3,
+            validation_epoch_size=2,
+            train_batch_size=8,
+            validation_batch_size=8,
+            model_type="tiny_L3",
+            random_state=11,
+            learning_rate=1e-4,
+            checkpoint_interval=2,
+            disable_logging=True,
+            continue_model_dir=model_dir,
+        )
+        # One more epoch ran; CSV now has 3 rows.
+        import csv
+
+        with open(os.path.join(model_dir, "history_csvlog.csv")) as f:
+            rows = list(csv.DictReader(f))
+        assert [int(r["epoch"]) for r in rows] == [0, 1, 2]
+        assert len(history["loss"]) == 1
