@@ -28,6 +28,7 @@ class AVCModel(nn.Module):
     vision_model: nn.Module
     audio_model: nn.Module
     layer_size: int = 128
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, video, audio, train: bool = False):
@@ -35,10 +36,16 @@ class AVCModel(nn.Module):
         y_v = self.vision_model(video, train=train)
         y_a = self.audio_model(audio, train=train)
         y = jnp.concatenate([y_v, y_a], axis=-1)
-        y = nn.Dense(self.layer_size, kernel_init=KERNEL_INIT, name="merge_dense")(y)
+        y = nn.Dense(
+            self.layer_size, kernel_init=KERNEL_INIT, name="merge_dense",
+            dtype=self.dtype,
+        )(y)
         y = nn.relu(y)
-        logits = nn.Dense(2, kernel_init=KERNEL_INIT, name="output_dense")(y)
-        return logits
+        logits = nn.Dense(
+            2, kernel_init=KERNEL_INIT, name="output_dense", dtype=self.dtype
+        )(y)
+        # Logits in f32 so the loss/softmax is always full precision.
+        return logits.astype(jnp.float32)
 
     def predict_proba(self, video, audio):
         return nn.softmax(self(video, audio, train=False))

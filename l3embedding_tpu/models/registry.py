@@ -17,6 +17,8 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 import flax.linen as nn
+import jax
+import jax.numpy as jnp
 
 from .avc import AVCModel
 from .towers import (
@@ -42,12 +44,28 @@ class ModelSpec:
     # type (reference audio_model.py:461-478); embedding dims follow.
     audio_embedding_pooling: dict = field(default_factory=dict)
 
-    def module(self) -> nn.Module:
-        return self.make()
+    def module(self, compute_dtype=jnp.float32, fe_precision=None) -> nn.Module:
+        """Instantiate the flax module.
+
+        compute_dtype: float32 (parity default) or bfloat16 (the TPU
+        mixed-precision training path; params stay float32).
+        fe_precision: matmul precision for the DSP front-end; defaults
+        to HIGHEST for float32 (bit-accurate extraction) and DEFAULT
+        (bf16 MXU passes) for bfloat16.
+        """
+        if fe_precision is None:
+            fe_precision = (
+                jax.lax.Precision.HIGHEST
+                if compute_dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT
+            )
+        return self.make(compute_dtype, fe_precision)
 
 
-def _avc(vision: nn.Module, audio: nn.Module, layer_size: int = 128) -> nn.Module:
-    return AVCModel(vision_model=vision, audio_model=audio, layer_size=layer_size)
+def _avc(vision, audio, layer_size=128, dtype=jnp.float32):
+    return AVCModel(
+        vision_model=vision, audio_model=audio, layer_size=layer_size, dtype=dtype
+    )
 
 
 _FULL_POOL_257 = {"original": (8, 8), "short": (32, 24)}
@@ -57,39 +75,64 @@ _FULL_POOL_128 = {"original": (4, 8), "short": (16, 24)}
 MODELS: dict[str, ModelSpec] = {
     "cnn_L3_orig": ModelSpec(
         name="cnn_L3_orig",
-        make=lambda: _avc(
-            L3VisionTower(input_bn=False),
-            L3AudioTower(frontend_kind="linear", final_pool=(32, 24)),
+        make=lambda dt, prec: _avc(
+            L3VisionTower(input_bn=False, dtype=dt),
+            L3AudioTower(
+                frontend_kind="linear", final_pool=(32, 24), dtype=dt, precision=prec
+            ),
+            dtype=dt,
         ),
         audio_embedding_pooling=_FULL_POOL_257,
     ),
     "cnn_L3_kapredbinputbn": ModelSpec(
         name="cnn_L3_kapredbinputbn",
-        make=lambda: _avc(
-            L3VisionTower(input_bn=True),
-            L3AudioTower(frontend_kind="linear_db", final_pool=(32, 24)),
+        make=lambda dt, prec: _avc(
+            L3VisionTower(input_bn=True, dtype=dt),
+            L3AudioTower(
+                frontend_kind="linear_db",
+                final_pool=(32, 24),
+                dtype=dt,
+                precision=prec,
+            ),
+            dtype=dt,
         ),
         audio_embedding_pooling=_FULL_POOL_257,
     ),
     "cnn_L3_melspec1": ModelSpec(
         name="cnn_L3_melspec1",
-        make=lambda: _avc(
-            L3VisionTower(input_bn=True),
-            L3AudioTower(frontend_kind="mel", n_mels=128, final_pool=(16, 24)),
+        make=lambda dt, prec: _avc(
+            L3VisionTower(input_bn=True, dtype=dt),
+            L3AudioTower(
+                frontend_kind="mel",
+                n_mels=128,
+                final_pool=(16, 24),
+                dtype=dt,
+                precision=prec,
+            ),
+            dtype=dt,
         ),
         audio_embedding_pooling=_FULL_POOL_128,
     ),
     "cnn_L3_melspec2": ModelSpec(
         name="cnn_L3_melspec2",
-        make=lambda: _avc(
-            L3VisionTower(input_bn=True),
-            L3AudioTower(frontend_kind="mel", n_mels=256, final_pool=(32, 24)),
+        make=lambda dt, prec: _avc(
+            L3VisionTower(input_bn=True, dtype=dt),
+            L3AudioTower(
+                frontend_kind="mel",
+                n_mels=256,
+                final_pool=(32, 24),
+                dtype=dt,
+                precision=prec,
+            ),
+            dtype=dt,
         ),
         audio_embedding_pooling=_FULL_POOL_257,
     ),
     "tiny_L3": ModelSpec(
         name="tiny_L3",
-        make=lambda: _avc(TinyL3VisionTower(), TinyL3AudioTower(), layer_size=64),
+        make=lambda dt, prec: _avc(
+            TinyL3VisionTower(), TinyL3AudioTower(), layer_size=64
+        ),
         # Tiny embedding = the flattened final feature map itself.
         audio_embedding_pooling={"original": (1, 1), "short": (1, 1)},
     ),

@@ -20,7 +20,7 @@ Parity quirks intentionally reproduced:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -31,6 +31,10 @@ from ..ops import frontend
 BN_MOMENTUM = 0.99
 BN_EPS = 1e-3
 KERNEL_INIT = nn.initializers.he_normal()
+
+# Compute dtype policy: params are always float32; `dtype=bfloat16`
+# runs conv/BN compute in bf16 on the MXU (the TPU-native mixed-precision
+# recipe). The parity/extraction path uses float32 + Precision.HIGHEST.
 
 
 def _max_pool(x, window, strides=None, padding="VALID"):
@@ -46,6 +50,7 @@ class ConvBNRelu(nn.Module):
     conv_padding: str = "SAME"
     relu_before_bn: bool = False  # vision block-1 second conv quirk
     conv_name: str | None = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -55,9 +60,13 @@ class ConvBNRelu(nn.Module):
             padding=self.conv_padding,
             kernel_init=KERNEL_INIT,
             name=self.conv_name,
+            dtype=self.dtype,
         )(x)
         bn = nn.BatchNorm(
-            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
         )
         if self.relu_before_bn:
             x = nn.relu(x)
@@ -81,6 +90,7 @@ class L3AudioTower(nn.Module):
     n_mels: int = 128
     final_pool: Sequence[int] = (32, 24)
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -111,12 +121,13 @@ class L3AudioTower(nn.Module):
         else:
             raise ValueError(f"unknown frontend_kind {self.frontend_kind!r}")
 
+        y = y.astype(self.dtype)
         for filters in (64, 128, 256):
-            y = ConvBNRelu(filters)(y, train)
-            y = ConvBNRelu(filters)(y, train)
+            y = ConvBNRelu(filters, dtype=self.dtype)(y, train)
+            y = ConvBNRelu(filters, dtype=self.dtype)(y, train)
             y = _max_pool(y, (2, 2))
 
-        y = ConvBNRelu(512)(y, train)
+        y = ConvBNRelu(512, dtype=self.dtype)(y, train)
         # The embedding conv: raw output is the embedding feature map.
         y = nn.Conv(
             512,
@@ -124,10 +135,14 @@ class L3AudioTower(nn.Module):
             padding="SAME",
             kernel_init=KERNEL_INIT,
             name="audio_embedding_layer",
+            dtype=self.dtype,
         )(y)
-        self.sow("intermediates", "embedding_features", y)
+        self.sow("intermediates", "embedding_features", y.astype(jnp.float32))
         y = nn.BatchNorm(
-            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
         )(y)
         y = nn.relu(y)
         y = _max_pool(y, tuple(self.final_pool))
@@ -142,37 +157,46 @@ class L3VisionTower(nn.Module):
     """
 
     input_bn: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         y = x
         if self.input_bn:
             y = nn.BatchNorm(
-                use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+                use_running_average=not train,
+                momentum=BN_MOMENTUM,
+                epsilon=BN_EPS,
+                dtype=self.dtype,
             )(y)
 
+        y = y.astype(self.dtype)
         # Block 1 carries the reference's relu-before-BN quirk on its
         # second conv (vision_model.py:41-43).
-        y = ConvBNRelu(64)(y, train)
-        y = ConvBNRelu(64, relu_before_bn=True)(y, train)
+        y = ConvBNRelu(64, dtype=self.dtype)(y, train)
+        y = ConvBNRelu(64, relu_before_bn=True, dtype=self.dtype)(y, train)
         y = _max_pool(y, (2, 2), padding="SAME")
 
         for filters in (128, 256):
-            y = ConvBNRelu(filters)(y, train)
-            y = ConvBNRelu(filters)(y, train)
+            y = ConvBNRelu(filters, dtype=self.dtype)(y, train)
+            y = ConvBNRelu(filters, dtype=self.dtype)(y, train)
             y = _max_pool(y, (2, 2), padding="SAME")
 
-        y = ConvBNRelu(512)(y, train)
+        y = ConvBNRelu(512, dtype=self.dtype)(y, train)
         y = nn.Conv(
             512,
             (3, 3),
             padding="SAME",
             kernel_init=KERNEL_INIT,
             name="vision_embedding_layer",
+            dtype=self.dtype,
         )(y)
-        self.sow("intermediates", "embedding_features", y)
+        self.sow("intermediates", "embedding_features", y.astype(jnp.float32))
         y = nn.BatchNorm(
-            use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
         )(y)
         y = nn.relu(y)
         y = _max_pool(y, (28, 28), padding="SAME")
