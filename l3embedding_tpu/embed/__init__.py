@@ -1,0 +1,3 @@
+"""Embedding extraction: windowed batched inference over audio files."""
+
+from .extract import EmbeddingExtractor, frame_uniform  # noqa: F401

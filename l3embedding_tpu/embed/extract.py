@@ -1,0 +1,115 @@
+"""Windowed embedding extraction — the `05_generate_embedding_samples`
+hot path.
+
+The reference frames each file into overlapping 1 s windows on the host
+(librosa.util.frame) and calls Keras predict per file
+(reference data/usc/features.py:256-306). TPU-native design:
+
+  * Same framing/padding math (so embeddings align sample-for-sample),
+    computed with a zero-copy numpy stride view.
+  * One jitted embedding function reused across files, with
+    power-of-two batch bucketing: window batches are zero-padded up to
+    a bucket size so XLA compiles a handful of shapes once instead of
+    one program per file length (dynamic shapes are the classic TPU
+    anti-pattern).
+  * Extraction runs in float32 with Precision.HIGHEST — this is the
+    parity-gated path (BASELINE cosine >= 0.999).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import numpy as np
+
+from ..models import audio_embedding_fn, build_model
+from ..training import checkpoints
+
+LOGGER = logging.getLogger("l3embedding_tpu.embed")
+
+BUCKETS = (16, 32, 64, 128, 256, 512)
+
+
+def frame_uniform(audio: np.ndarray, sr: int = 48000, hop_size: float = 0.1):
+    """Overlapping 1 s windows with the reference's centering/padding
+    (reference features.py:256-301) → (num_windows, frame_length) f32."""
+    hop_length = int(hop_size * sr)
+    frame_length = sr * 1
+
+    audio_length = len(audio)
+    if audio_length < frame_length:
+        pad_length = frame_length - audio_length
+    else:
+        pad_length = (
+            int(np.ceil(audio_length - frame_length) / hop_length) * hop_length
+            - (audio_length - frame_length)
+        )
+    if pad_length > 0:
+        left = pad_length // 2
+        audio = np.pad(audio, (left, pad_length - left), mode="constant")
+
+    n = (len(audio) - frame_length) // hop_length + 1
+    strides = (audio.strides[0] * hop_length, audio.strides[0])
+    return np.lib.stride_tricks.as_strided(
+        audio, shape=(n, frame_length), strides=strides
+    ).astype(np.float32)
+
+
+def _bucket(n: int) -> int:
+    for b in BUCKETS:
+        if n <= b:
+            return b
+    return int(np.ceil(n / BUCKETS[-1])) * BUCKETS[-1]
+
+
+class EmbeddingExtractor:
+    """Batched audio-embedding extractor for one (model_type, pooling).
+
+    Equivalent of reference load_embedding() + model.predict()
+    (reference model.py:131-181, features.py:303-306), holding the
+    jitted function and parameters resident on device across files.
+    """
+
+    def __init__(
+        self,
+        weights_path: str | None,
+        model_type: str,
+        pooling_type: str = "original",
+        sr: int = 48000,
+    ):
+        self.model_type = model_type
+        self.pooling_type = pooling_type
+        self.sr = sr
+        spec = build_model(model_type)
+        model = spec.module()
+        variables = model.init(
+            jax.random.PRNGKey(0),
+            np.zeros((1,) + tuple(spec.video_input_shape), np.float32),
+            np.zeros((1,) + tuple(spec.audio_input_shape), np.float32),
+            train=False,
+        )
+        if weights_path is not None:
+            variables = checkpoints.load_variables(weights_path, variables)
+        self.variables = jax.device_put(variables)
+        self._fn = jax.jit(audio_embedding_fn(model_type, pooling_type))
+
+    def embed_windows(self, windows: np.ndarray) -> np.ndarray:
+        """(N, frame_length) float32 → (N, dim) embeddings."""
+        n = windows.shape[0]
+        bucket = _bucket(n)
+        if bucket != n:
+            windows = np.concatenate(
+                [windows, np.zeros((bucket - n, windows.shape[1]), np.float32)]
+            )
+        x = windows[:, None, :]  # (B, 1, 48000) reference input convention
+        emb = self._fn(self.variables, x)
+        return np.asarray(emb)[:n]
+
+    def embed_audio(self, audio: np.ndarray, hop_size: float = 0.1) -> np.ndarray:
+        return self.embed_windows(frame_uniform(audio, self.sr, hop_size))
+
+    def embed_file(self, path: str, hop_size: float = 0.1) -> np.ndarray:
+        from ..data.audio_io import load_audio
+
+        return self.embed_audio(load_audio(path, self.sr), hop_size=hop_size)

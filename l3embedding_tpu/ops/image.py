@@ -41,7 +41,7 @@ def hsv_to_rgb(hsv: np.ndarray) -> np.ndarray:
     p = v * (1.0 - s)
     q = v * (1.0 - s * f)
     t = v * (1.0 - s * (1.0 - f))
-    i = i.astype(np.int64) % 6
+    i = (i.astype(np.int64) % 6)[..., None]
     out = np.select(
         [i == 0, i == 1, i == 2, i == 3, i == 4, i == 5],
         [

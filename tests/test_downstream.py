@@ -1,0 +1,146 @@
+"""Downstream stack tests: folds, preprocessing, classifiers, metrics,
+and the embedding extractor."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from l3embedding_tpu.classifier.metrics import aggregate_metrics, compute_metrics
+from l3embedding_tpu.data.usc.folds import get_split, get_valid_fold_idx
+from l3embedding_tpu.embed.extract import frame_uniform
+
+
+def make_features_dir(root, dataset="us8k", num_folds=10, files_per_fold=10,
+                      frames=20, dim=32, n_classes=10, seed=0):
+    rng = np.random.RandomState(seed)
+    feat_dir = os.path.join(root, "features", dataset, "l3", "melspec2", "short")
+    for fold in range(1, num_folds + 1):
+        fold_dir = os.path.join(feat_dir, f"fold{fold}")
+        os.makedirs(fold_dir, exist_ok=True)
+        for i in range(files_per_fold):
+            y = i % n_classes
+            # Class-separable synthetic embeddings.
+            X = rng.randn(frames, dim).astype(np.float32) + 3.0 * y
+            np.savez_compressed(
+                os.path.join(fold_dir, f"file{fold}-{y}-0-{i}.npz"), X=X, y=y
+            )
+    return feat_dir
+
+
+@pytest.fixture(scope="module")
+def features_dir(tmp_path_factory):
+    return make_features_dir(str(tmp_path_factory.mktemp("ds")))
+
+
+def test_metrics():
+    y = [0, 0, 1, 1, 2, 2]
+    pred = [0, 1, 1, 1, 2, 0]
+    m = compute_metrics(y, pred, num_classes=3)
+    assert m["accuracy"] == pytest.approx(4 / 6)
+    assert m["class_accuracy"][1] == pytest.approx(1.0)
+    agg = aggregate_metrics(
+        [{"accuracy": 0.5}, {"accuracy": 0.7}, {"accuracy": 0.9}]
+    )
+    assert agg["accuracy"]["mean"] == pytest.approx(0.7)
+    assert agg["accuracy"]["max"] == pytest.approx(0.9)
+
+
+def test_get_split_structure(features_dir):
+    train, valid, test = get_split(features_dir, 0, "us8k")
+    assert get_valid_fold_idx(0, 10) == 9
+    # 8 train folds x 10 files x 20 frames
+    assert train["features"].shape == (8 * 10 * 20, 32)
+    assert valid["features"].shape == (10 * 20, 32)
+    assert test["features"].shape == (10 * 20, 32)
+    assert train["file_idxs"].shape == (80, 2)
+    # file_idxs spans are contiguous and global
+    assert train["file_idxs"][0][0] == 0
+    assert train["file_idxs"][-1][-1] == train["features"].shape[0]
+
+
+@pytest.mark.parametrize("model_type", ["svm", "mlp"])
+def test_classifier_end_to_end(features_dir, tmp_path, model_type):
+    from l3embedding_tpu.classifier.train import train
+
+    out = str(tmp_path / f"cls_{model_type}")
+    model_dir, results = train(
+        features_dir,
+        out,
+        fold_num=1,
+        model_type=model_type,
+        feature_mode="framewise",
+        random_state=5,
+        num_epochs=60,
+        learning_rate=1e-3,
+    ) if model_type == "mlp" else train(
+        features_dir, out, fold_num=1, model_type=model_type,
+        feature_mode="framewise", random_state=5,
+    )
+    assert os.path.exists(os.path.join(model_dir, "config.json"))
+    assert os.path.exists(os.path.join(model_dir, "results.pkl"))
+    assert os.path.exists(os.path.join(model_dir, "stdizer.pkl"))
+    with open(os.path.join(model_dir, "results.pkl"), "rb") as f:
+        saved = pickle.load(f)
+    # Synthetic classes are linearly separable — expect near-perfect test acc.
+    assert saved["test"]["accuracy"] > 0.9
+    assert "average_class_accuracy" in saved["test"]
+
+
+def test_classifier_stats_mode(features_dir, tmp_path):
+    from l3embedding_tpu.classifier.train import train
+
+    model_dir, results = train(
+        features_dir, str(tmp_path / "cls_stats"), fold_num=2,
+        model_type="svm", feature_mode="stats", random_state=5,
+    )
+    assert results["test"]["accuracy"] >= 0.8
+
+
+def test_frame_uniform_matches_reference_formula():
+    sr = 48000
+    # 2.5 s audio, hop 0.1 s → windows cover all samples with centering
+    audio = np.random.RandomState(0).randn(int(2.5 * sr)).astype(np.float32)
+    frames = frame_uniform(audio, sr=sr, hop_size=0.1)
+    assert frames.shape[1] == sr
+    hop = int(0.1 * sr)
+    # Reference pad formula (features.py:283-293)
+    audio_length = len(audio)
+    pad_length = int(np.ceil(audio_length - sr) / hop) * hop - (audio_length - sr)
+    expected_n = (audio_length + pad_length - sr) // hop + 1
+    assert frames.shape[0] == expected_n
+    # Short audio gets one centered window.
+    short = np.ones(1000, dtype=np.float32)
+    frames = frame_uniform(short, sr=sr)
+    assert frames.shape == (1, sr)
+    assert frames.sum() == pytest.approx(1000.0)
+
+
+def test_embedding_extractor_tiny(tmp_path):
+    from l3embedding_tpu.embed.extract import EmbeddingExtractor
+    from l3embedding_tpu.models import build_model
+    from l3embedding_tpu.training import checkpoints
+
+    import jax
+
+    # Save tiny_L3 variables, reload through the extractor, embed audio.
+    spec = build_model("tiny_L3")
+    model = spec.module()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 224, 224, 3), np.float32),
+        np.zeros((1, 1, 48000), np.float32),
+        train=False,
+    )
+    path = str(tmp_path / "tiny.ckpt")
+    checkpoints.save_variables(path, variables["params"], variables["batch_stats"])
+
+    ex = EmbeddingExtractor(path, "tiny_L3", "original")
+    audio = np.random.RandomState(1).randn(96000).astype(np.float32) * 0.1
+    emb = ex.embed_audio(audio, hop_size=0.5)
+    assert emb.ndim == 2
+    assert emb.shape[1] == 350  # tiny audio tower flatten dim (7*5*10)
+    assert np.all(np.isfinite(emb))
+    # Determinism: same audio → same embeddings.
+    np.testing.assert_array_equal(emb, ex.embed_audio(audio, hop_size=0.5))
