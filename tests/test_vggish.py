@@ -1,0 +1,117 @@
+"""VGGish port tests, modeled on the reference's executable smoke test
+(reference data/usc/vggish/vggish_smoke_test.py:49-95): a 3 s 1 kHz sine
+at 44.1 kHz through mel front-end → model → postprocessor. Golden-value
+asserts are gated on pretrained weights being present (the checkpoint
+requires network download); structure/shape/mel-math asserts always run.
+"""
+
+import numpy as np
+import pytest
+
+from l3embedding_tpu.data import vggish_mel as vm
+
+
+def make_sine():
+    # Reference smoke test input: 3 s of 1 kHz at 44.1 kHz in [-1, 1].
+    sr = 44100
+    t = np.arange(0, 3.0, 1.0 / sr)
+    return np.sin(2 * np.pi * 1000 * t), sr
+
+
+def test_mel_matrix_shape_and_dc_zero():
+    m = vm.spectrogram_to_mel_matrix(
+        num_mel_bins=64, num_spectrogram_bins=257,
+        audio_sample_rate=16000, lower_edge_hertz=125, upper_edge_hertz=7500,
+    )
+    assert m.shape == (257, 64)
+    np.testing.assert_array_equal(m[0, :], 0.0)
+    assert np.all(m >= 0)
+    # Unnormalized HTK triangles peak at 1 in the interior.
+    assert m.max() <= 1.0 + 1e-9
+
+
+def test_log_mel_spectrogram_shapes():
+    x, sr = make_sine()
+    lm = vm.log_mel_spectrogram(
+        x[: sr], audio_sample_rate=sr, log_offset=0.01,
+        num_mel_bins=64, lower_edge_hertz=125, upper_edge_hertz=7500,
+    )
+    # window 25ms=1102 samples, hop 10ms=441 → (44100-1102)//441+1 frames
+    assert lm.shape == ((44100 - 1102) // 441 + 1, 64)
+    assert np.all(np.isfinite(lm))
+
+
+def test_waveform_to_examples_shape():
+    x, sr = make_sine()
+    examples = vm.waveform_to_examples(x, sr)
+    # 3 s → ~3 non-overlapping 0.96 s examples at 16 kHz
+    assert examples.shape[1:] == (96, 64)
+    assert examples.shape[0] == 3
+    # Resampled energy concentrates near 1 kHz → band argmax stable
+    band = examples[0].mean(axis=0).argmax()
+    freqs_mel = vm.hertz_to_mel(1000.0)
+    edges = np.linspace(vm.hertz_to_mel(125.0), vm.hertz_to_mel(7500.0), 66)
+    expected_band = int(np.searchsorted(edges, freqs_mel)) - 1
+    assert abs(band - expected_band) <= 1
+
+
+def test_vggish_model_shapes():
+    import jax
+
+    from l3embedding_tpu.models.vggish import VGGish
+
+    model = VGGish()
+    x = np.random.RandomState(0).randn(2, 96, 64).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(variables, x)
+    assert out.shape == (2, 128)
+    assert np.all(np.asarray(out) >= 0)  # final ReLU
+    # Parameter count matches the published VGGish (~72M params).
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables["params"]))
+    assert n == 72_141_184
+
+
+def test_postprocessor_roundtrip(tmp_path):
+    from l3embedding_tpu.models.vggish import Postprocessor
+
+    rng = np.random.RandomState(0)
+    # Identity PCA with zero means → quantization-only behavior.
+    path = str(tmp_path / "pca.npz")
+    np.savez(
+        path,
+        pca_eigen_vectors=np.eye(128),
+        pca_means=np.zeros(128),
+    )
+    pp = Postprocessor(path)
+    emb = rng.randn(5, 128).astype(np.float32)
+    q = pp.postprocess(emb)
+    assert q.dtype == np.uint8
+    assert q.shape == (5, 128)
+    # Values at clip bounds map to 0 / 255.
+    emb2 = np.full((1, 128), 10.0, dtype=np.float32)
+    assert pp.postprocess(emb2).max() == 255
+    emb3 = np.full((1, 128), -10.0, dtype=np.float32)
+    assert pp.postprocess(emb3).min() == 0
+
+
+def test_vggish_extractor_pipeline(tmp_path):
+    """Full pipeline on the smoke-test sine; golden means gated on
+    weights (reference vggish_smoke_test.py:79-95)."""
+    from l3embedding_tpu.models.vggish import VGGishExtractor
+
+    x, sr = make_sine()
+    ex = VGGishExtractor.get_cached()
+    emb = ex.embed_waveform(x, sr, postprocess=False)
+    assert emb.shape == (3, 128)
+    assert np.all(np.isfinite(emb))
+
+    if ex.has_weights:  # pragma: no cover - needs downloaded checkpoint
+        expected_mean, expected_std = 0.131, 0.238
+        np.testing.assert_allclose(emb.mean(), expected_mean, rtol=0.1)
+        np.testing.assert_allclose(emb.std(), expected_std, rtol=0.1)
+        if ex.postprocessor is not None:
+            post = ex.embed_examples(
+                vm.waveform_to_examples(x, sr), postprocess=True
+            )
+            np.testing.assert_allclose(post.mean(), 123.0, rtol=0.1)
+            np.testing.assert_allclose(post.std(), 75.0, rtol=0.1)
