@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Stage 05: generate downstream embedding features for us8k / esc50 /
+dcase2013 (reference 05_generate_embedding_samples.py:16-219 — same
+flags/positionals, including the model-path-string layout inference).
+"""
+
+import argparse
+import json
+import logging
+import os
+
+from l3embedding_tpu.data.usc.datasets import (
+    generate_dcase2013_fold_data,
+    generate_dcase2013_folds,
+    generate_esc50_fold_data,
+    generate_esc50_folds,
+    generate_us8k_fold_data,
+    generate_us8k_folds,
+)
+from l3embedding_tpu.embed import EmbeddingExtractor
+from l3embedding_tpu.utils.log import init_console_logger
+
+LOGGER = logging.getLogger("l3embedding_tpu.cls-data")
+
+
+def parse_arguments():
+    parser = argparse.ArgumentParser(
+        description="Generate embedding features for downstream datasets"
+    )
+    parser.add_argument("-r", "--random-state", dest="random_state", type=int,
+                        default=20171021, help="Random seed")
+    parser.add_argument("-v", "--verbose", dest="verbose", action="store_true",
+                        default=False, help="Print detailed messages")
+    parser.add_argument("-f", "--features", dest="features", type=str,
+                        default="l3", help="Type of features ('l3' or 'vggish')")
+    parser.add_argument("-lmp", "--l3embedding-model-path",
+                        dest="l3embedding_model_path", type=str,
+                        help="Path to L3 embedding model weights file")
+    parser.add_argument("-lpt", "--l3embedding-pooling-type",
+                        dest="l3embedding_pooling_type", type=str,
+                        default="original",
+                        help="Pooling type for the embedding layer "
+                        "('original' or 'short')")
+    parser.add_argument("-hs", "--hop-size", dest="hop_size", type=float,
+                        default=0.1, help="Hop size in seconds")
+    parser.add_argument("-nrs", "--num-random-samples",
+                        dest="num_random_samples", type=int,
+                        help="(compat) randomized-sampling count")
+    parser.add_argument("-g", "--gpus", dest="gpus", type=int, default=0,
+                        help="(compat) accelerator count; the TPU mesh is used")
+    parser.add_argument("--fold", dest="fold", type=int,
+                        help="Fold number to generate; all folds if unset")
+    parser.add_argument("-ump", "--us8k-metadata-path",
+                        dest="us8k_metadata_path", type=str,
+                        help="Path to UrbanSound8K metadata file")
+    parser.add_argument("dataset_name", type=str,
+                        choices=["us8k", "esc50", "dcase2013"],
+                        help="Name of dataset")
+    parser.add_argument("data_dir", type=str,
+                        help="Path to dataset audio directory")
+    parser.add_argument("output_dir", type=str,
+                        help="Path to output directory")
+    return vars(parser.parse_args())
+
+
+if __name__ == "__main__":
+    args = parse_arguments()
+    init_console_logger(LOGGER, verbose=args["verbose"])
+    LOGGER.info("Configuration: %s", args)
+
+    pooling_type = args["l3embedding_pooling_type"]
+    model_path = args["l3embedding_model_path"]
+    features = args["features"]
+    dataset_name = args["dataset_name"]
+    fold_num = args["fold"]
+
+    if features == "l3":
+        if not model_path:
+            raise ValueError(
+                "Must provide model path if L3 embedding features are used"
+            )
+        # Infer model type + output layout from the model path string
+        # (reference 05_generate_embedding_samples.py:143-157):
+        # .../embedding/<subset>/<model_type>/<timestamp>/model_*.ckpt
+        model_desc_start_idx = model_path.rindex("embedding") + 10
+        model_desc_end_idx = os.path.dirname(model_path).rindex("/")
+        embedding_desc_str = model_path[model_desc_start_idx:model_desc_end_idx]
+        dataset_output_dir = os.path.join(
+            args["output_dir"], "features", dataset_name, features,
+            pooling_type, embedding_desc_str,
+        )
+        model_type = embedding_desc_str.split("/")[-1]
+        LOGGER.info("Loading embedding model (%s)...", model_type)
+        l3embedding_model = EmbeddingExtractor(model_path, model_type,
+                                               pooling_type)
+    else:
+        dataset_output_dir = os.path.join(
+            args["output_dir"], "features", dataset_name, features
+        )
+        l3embedding_model = None
+
+    os.makedirs(dataset_output_dir, exist_ok=True)
+    args["features_dir"] = dataset_output_dir
+    with open(
+        os.path.join(dataset_output_dir, f"config_{fold_num}.json"), "w"
+    ) as f:
+        json.dump(args, f)
+
+    common = dict(
+        l3embedding_model=l3embedding_model,
+        features=features,
+        random_state=args["random_state"],
+        hop_size=args["hop_size"],
+        num_random_samples=args["num_random_samples"],
+    )
+    data_dir = args["data_dir"]
+
+    if dataset_name == "us8k":
+        if not args["us8k_metadata_path"]:
+            raise ValueError("Must provide metadata file for UrbanSound8k")
+        if fold_num is not None:
+            generate_us8k_fold_data(
+                args["us8k_metadata_path"], data_dir, fold_num - 1,
+                dataset_output_dir, **common,
+            )
+        else:
+            generate_us8k_folds(
+                args["us8k_metadata_path"], data_dir, dataset_output_dir,
+                **common,
+            )
+    elif dataset_name == "esc50":
+        if fold_num is not None:
+            generate_esc50_fold_data(
+                data_dir, fold_num - 1, dataset_output_dir, **common
+            )
+        else:
+            generate_esc50_folds(data_dir, dataset_output_dir, **common)
+    elif dataset_name == "dcase2013":
+        if fold_num is not None:
+            generate_dcase2013_fold_data(
+                data_dir, fold_num - 1, dataset_output_dir, **common
+            )
+        else:
+            generate_dcase2013_folds(data_dir, dataset_output_dir, **common)
+
+    LOGGER.info("Done!")

@@ -1,0 +1,112 @@
+"""CLI surface tests: every numbered stage parses the reference's flags;
+functional smoke tests for the host-side stages (01, 02, 04, reporting).
+"""
+
+import csv
+import json
+import os
+import pickle
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=8",
+)
+
+
+def run_cli(script, *args, check=True):
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, script), *args],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=300,
+    )
+    if check and out.returncode != 0:
+        raise AssertionError(
+            f"{script} failed ({out.returncode}):\n{out.stdout}\n{out.stderr}"
+        )
+    return out
+
+
+@pytest.mark.parametrize(
+    "script",
+    [
+        "01_create_subsets.py",
+        "02_generate_samples.py",
+        "03_train_embedding.py",
+        "04_plot_training_history.py",
+        "05_generate_embedding_samples.py",
+        "06_train_classifier.py",
+        "recompute_batch_audio.py",
+        "generate_plots_and_sig_tests.py",
+    ],
+)
+def test_cli_help(script):
+    out = run_cli(script, "--help")
+    assert "usage" in out.stdout.lower()
+
+
+def test_01_create_subsets_functional(tmp_path):
+    # Paired audio/video corpus (contents unused by the split logic).
+    data_dir = tmp_path / "corpus"
+    (data_dir / "audio").mkdir(parents=True)
+    (data_dir / "video").mkdir()
+    for i in range(10):
+        name = f"vid{i:02d}_000_010"
+        (data_dir / "audio" / f"{name}.wav").write_bytes(b"")
+        (data_dir / "video" / f"{name}.npy").write_bytes(b"")
+    out_dir = tmp_path / "subsets"
+    run_cli("01_create_subsets.py", str(data_dir), str(out_dir), "testset")
+    for split, expected in (("train", 8), ("valid", 1), ("test", 1)):
+        path = out_dir / f"testset_{split}.csv"
+        assert path.exists()
+        with open(path) as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == expected
+        assert set(rows[0]) == {"ytid", "audio_filepath", "video_filepath"}
+
+
+def test_04_plot_functional(tmp_path):
+    run_dir = tmp_path / "model_id" / "20240101000000"
+    run_dir.mkdir(parents=True)
+    csv_path = run_dir / "history_csvlog.csv"
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["epoch", "acc", "loss", "val_acc",
+                                          "val_loss"])
+        w.writeheader()
+        for e in range(3):
+            w.writerow({"epoch": e, "acc": 0.5 + e * 0.1, "loss": 1 - e * 0.1,
+                        "val_acc": 0.4 + e * 0.1, "val_loss": 1.1 - e * 0.1})
+    out_png = tmp_path / "plot.png"
+    run_cli("04_plot_training_history.py", str(csv_path), "-hd",
+            "-o", str(out_png))
+    assert out_png.exists() and out_png.stat().st_size > 0
+
+
+def test_sig_tests_functional(tmp_path):
+    # Fake results tree: two representations x 4 folds on one dataset.
+    rng = np.random.RandomState(0)
+    for rep, base in (("us8k/l3/short/melspec2/mlp", 0.8),
+                      ("us8k/vggish/mlp", 0.7)):
+        for fold in range(1, 5):
+            d = tmp_path / "classifier" / rep / f"fold{fold}" / "20240101"
+            d.mkdir(parents=True)
+            with open(d / "results.pkl", "wb") as f:
+                pickle.dump(
+                    {"test": {"accuracy": base + rng.rand() * 0.05,
+                              "average_class_accuracy": base}},
+                    f,
+                )
+    out_dir = tmp_path / "report"
+    out = run_cli("generate_plots_and_sig_tests.py", str(tmp_path),
+                  str(out_dir))
+    assert "pairwise tests" in out.stdout
+    with open(out_dir / "sig_tests.json") as f:
+        tests = json.load(f)
+    assert len(tests) == 1
+    assert tests[0]["n_folds"] == 4
+    assert (out_dir / "us8k_test_acc.png").exists()
