@@ -34,15 +34,18 @@ def _pool_flatten(feat: jnp.ndarray, pool: tuple[int, int]) -> jnp.ndarray:
     return y.reshape((y.shape[0], -1))
 
 
-def audio_embedding_fn(model_type: str, pooling_type: str = "original"):
+def audio_embedding_fn(model_type: str, pooling_type: str = "original",
+                       compute_dtype=jnp.float32):
     """Returns fn(variables, audio_batch) → (B, dim) embeddings.
 
     `variables` is the full AVC model variables dict; the audio subtree is
     sliced out so the same checkpoint serves training and extraction.
+    compute_dtype=bfloat16 selects the fast tower (fused Pallas frontend
+    on TPU); float32 is the parity configuration.
     """
     spec = build_model(model_type)
     pool = spec.audio_embedding_pooling[pooling_type]
-    tower = spec.module().audio_model
+    tower = spec.module(compute_dtype=compute_dtype).audio_model
 
     def fn(variables, audio):
         sub = {

@@ -112,9 +112,17 @@ class L3AudioTower(nn.Module):
                 use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
             )(y)
         elif self.frontend_kind == "mel":
-            y = frontend.melspectrogram(
-                x, frontend.MelConfig(n_mels=self.n_mels), precision=self.precision
-            )
+            cfg = frontend.MelConfig(n_mels=self.n_mels)
+            # Fast path: the fused Pallas kernel (ops/pallas_frontend)
+            # when training in bf16 on a TPU backend. The f32 path keeps
+            # the XLA HIGHEST-precision formulation — that is the
+            # extraction/parity configuration.
+            from ..ops.pallas_frontend import melspectrogram_fused, pallas_available
+
+            if self.dtype == jnp.bfloat16 and pallas_available():
+                y = melspectrogram_fused(x, cfg)
+            else:
+                y = frontend.melspectrogram(x, cfg, precision=self.precision)
             y = nn.BatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
             )(y)
