@@ -124,28 +124,31 @@ def sample_one_frame(video_data, start=None, fps=30, augment=False):
         frame = random.randrange(num_frames)
 
     frame_data, bbox = sample_cropped_frame(video_data[frame])
-    frame_data = img_as_float(frame_data)
     aug_params = {"bounding_box": bbox}
 
     if augment:
-        horizontal_flip = False
-        if random.random() < 0.5:
-            frame_data = horiz_flip(frame_data)
-            horizontal_flip = True
-
         # Inception-preprocessing jitter ranges; saturation/brightness in
-        # random order (reference sample.py:240-271).
-        if random.random() < 0.5:
+        # random order (reference sample.py:240-271). Parameter draws
+        # keep the reference's RNG order; the pixel work runs through the
+        # fused native kernel (l3embedding_tpu/native, numpy fallback).
+        horizontal_flip = random.random() < 0.5
+        sat_first = random.random() < 0.5
+        if sat_first:
             saturation_factor = np.float32(random.random() + 0.5)
-            frame_data = adjust_saturation(frame_data, saturation_factor)
             brightness_delta = np.float32((2 * random.random() - 1) * (32.0 / 255.0))
-            frame_data = adjust_brightness(frame_data, brightness_delta)
         else:
             brightness_delta = np.float32((2 * random.random() - 1) * (32.0 / 255.0))
-            frame_data = adjust_brightness(frame_data, brightness_delta)
             saturation_factor = np.float32(random.random() + 0.5)
-            frame_data = adjust_saturation(frame_data, saturation_factor)
 
+        from ..native import augment_frame
+
+        frame_data = augment_frame(
+            frame_data,
+            flip=horizontal_flip,
+            saturation_factor=float(saturation_factor),
+            brightness_delta=float(brightness_delta),
+            sat_first=sat_first,
+        )
         aug_params.update(
             {
                 "horizontal_flip": horizontal_flip,
@@ -153,8 +156,10 @@ def sample_one_frame(video_data, start=None, fps=30, augment=False):
                 "brightness_delta": brightness_delta,
             }
         )
+    else:
+        frame_data = img_as_ubyte(img_as_float(frame_data))
 
-    return img_as_ubyte(frame_data), frame, aug_params
+    return frame_data, frame, aug_params
 
 
 def generate_sample(
