@@ -244,19 +244,28 @@ def train(
     def put(batch):
         return shard_batch(batch, mesh) if mesh is not None else batch
 
+    def staged(gen):
+        # Device placement inside the pipeline thread: host→device
+        # transfer of batch k+1..k+prefetch overlaps the device compute
+        # of batch k (jax device transfers are thread-safe and async).
+        for b in gen:
+            yield put(b)
+
     # Optional on-device profiling of the first profile_steps train steps
     # (trace lands in <model_dir>/profile; view with TensorBoard/XProf).
     profile_remaining = int(profile_steps)
     if profile_remaining > 0:
         jax.profiler.start_trace(os.path.join(model_dir, "profile"))
 
-    with AsyncBatchPipeline(train_gen, prefetch=prefetch_batches) as train_pipe:
+    with AsyncBatchPipeline(
+        staged(train_gen), prefetch=prefetch_batches
+    ) as train_pipe:
         for epoch in range(initial_epoch, num_epochs):
             epoch_start = time.time()
             tr_loss, tr_acc = [], []
             for _ in range(train_epoch_size):
                 t0 = time.perf_counter()
-                batch = put(next(train_pipe))
+                batch = next(train_pipe)
                 state, metrics = train_step(state, batch)
                 metrics = jax.device_get(metrics)
                 batch_times.append(time.perf_counter() - t0)
@@ -280,9 +289,11 @@ def train(
                 random_state=random_state,
             )
             va_loss, va_acc = [], []
-            with AsyncBatchPipeline(val_gen, prefetch=prefetch_batches) as val_pipe:
+            with AsyncBatchPipeline(
+                staged(val_gen), prefetch=prefetch_batches
+            ) as val_pipe:
                 for _ in range(validation_epoch_size):
-                    metrics = jax.device_get(eval_step(state, put(next(val_pipe))))
+                    metrics = jax.device_get(eval_step(state, next(val_pipe)))
                     va_loss.append(float(metrics["loss"]))
                     va_acc.append(float(metrics["acc"]))
 
