@@ -135,6 +135,36 @@ def preprocess_split_data(
     return min_max_scaler, stdizer
 
 
+def preprocess_features(data, min_max_scaler, stdizer, feature_mode="framewise"):
+    """Apply previously-fitted scalers + feature mode to new data
+    (reference features.py:150-163)."""
+    data["features"] = min_max_scaler.fit_transform(data["features"])
+    if feature_mode == "framewise":
+        expand_framewise_labels(data)
+    elif feature_mode == "stats":
+        framewise_to_stats(data)
+    else:
+        raise ValueError(f"Invalid feature mode: {feature_mode}")
+    data["features"] = stdizer.transform(data["features"])
+
+
+def flatten_file_frames(X, y):
+    """Flatten per-file frame features and repeat labels per frame
+    (reference features.py:329-365)."""
+    if X.ndim == 1:
+        num_frames_per_file = []
+        X_flat = []
+        for X_file in X:
+            num_frames_per_file.append(len(X_file))
+            X_flat += list(X_file)
+        X_flat = np.array(X_flat)
+    else:
+        num_files, num_frames_per_file = X.shape[0], X.shape[1]
+        X_flat = X.reshape((num_files * num_frames_per_file,) + X.shape[2:])
+    y_flat = np.repeat(y, num_frames_per_file)
+    return X_flat, y_flat
+
+
 def get_l3_frames_uniform(audio, extractor, hop_size=0.1, sr=48000):
     """L3 embedding per overlapping 1 s window
     (reference features.py:256-306); `extractor` is an

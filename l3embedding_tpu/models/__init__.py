@@ -8,3 +8,4 @@ from .embedding import (  # noqa: F401
     audio_embedding_fn,
     vision_embedding_fn,
 )
+from .loading import load_embedding, load_model  # noqa: F401
