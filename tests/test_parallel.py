@@ -1,0 +1,141 @@
+"""Data-parallel semantics on the virtual 8-device mesh.
+
+Key property of the TPU-native design: results are independent of mesh
+size. Because BatchNorm statistics are computed over the global batch
+(XLA inserts the cross-replica reduction) and gradients are psum'd, a
+train step on 8 devices must match the same step on 1 device bit-for-
+tolerance — unlike the reference's per-replica BN under in-graph
+replication (reference training_utils.py:21-170)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from l3embedding_tpu.models import build_model
+from l3embedding_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    replicate,
+    shard_batch,
+)
+from l3embedding_tpu.training.state import create_train_state
+from l3embedding_tpu.training.steps import make_eval_step, make_train_step
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    spec = build_model("tiny_L3")
+    model = spec.module()
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(0),
+        spec.video_input_shape,
+        spec.audio_input_shape,
+        learning_rate=1e-3,
+    )
+    rng = np.random.RandomState(0)
+    batch = {
+        "video": rng.randint(0, 256, size=(16, 224, 224, 3)).astype(np.uint8),
+        "audio": (rng.randn(16, 1, 48000) * 3000).astype(np.int16),
+        "label": np.stack(
+            [rng.randint(0, 2, 16)] * 2, axis=1
+        ).astype(np.float32),
+    }
+    batch["label"][:, 1] = 1 - batch["label"][:, 0]
+    return model, state, batch
+
+
+def test_mesh_shapes():
+    mesh = create_mesh()
+    assert mesh.devices.size == jax.device_count()
+    assert mesh.axis_names == ("data", "model")
+    mesh2 = create_mesh(model_axis=2)
+    assert mesh2.shape["data"] == jax.device_count() // 2
+    assert mesh2.shape["model"] == 2
+
+
+def test_shard_batch_layout(setup):
+    _, _, batch = setup
+    mesh = create_mesh()
+    sharded = shard_batch(batch, mesh)
+    sh = sharded["video"].sharding
+    assert sh.is_equivalent_to(batch_sharding(mesh), ndim=4)
+    np.testing.assert_array_equal(np.asarray(sharded["video"]), batch["video"])
+
+
+def test_train_step_mesh_invariance(setup):
+    model, state, batch = setup
+    train_step_1 = make_train_step(model, donate=False)
+    # Single device.
+    state1, metrics1 = train_step_1(state, batch)
+
+    # 8-device mesh: replicated state, sharded batch.
+    mesh = create_mesh()
+    state8 = replicate(state, mesh)
+    sharded = shard_batch(batch, mesh)
+    train_step_8 = make_train_step(model, donate=False)
+    state8_new, metrics8 = train_step_8(state8, sharded)
+
+    # Same loss/acc: sync-BN + psum make the computation mesh-size
+    # independent.
+    np.testing.assert_allclose(
+        float(metrics1["loss"]), float(metrics8["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics1["acc"]), float(metrics8["acc"]), rtol=0
+    )
+
+    # Gradients are mesh-size independent up to f32 reduction-order
+    # noise. (Raw parameters after an Adam step are NOT comparable
+    # elementwise: with near-zero grads, Adam normalizes sign noise to
+    # full-size updates — so the invariance check belongs on grads.)
+    import optax
+
+    def loss_fn(params, batch_stats, video, audio, label):
+        from l3embedding_tpu.training.steps import l2_penalty, preprocess_batch
+
+        v, a = preprocess_batch(video, audio)
+        logits, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            v, a, train=True, mutable=["batch_stats"],
+        )
+        ce = optax.softmax_cross_entropy(logits, label).mean()
+        return ce + l2_penalty(params)
+
+    grad_fn = jax.jit(jax.grad(loss_fn))
+    g1 = grad_fn(state.params, state.batch_stats,
+                 batch["video"], batch["audio"], batch["label"])
+    sharded = shard_batch(batch, mesh)
+    g8 = grad_fn(state8.params, state8.batch_stats,
+                 sharded["video"], sharded["audio"], sharded["label"])
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(jax.device_get(g8))):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1e-8)
+        np.testing.assert_allclose(a, b, atol=max(2e-4 * scale, 1e-6), rtol=1e-2)
+
+
+def test_eval_step_on_mesh(setup):
+    model, state, batch = setup
+    mesh = create_mesh()
+    state8 = replicate(state, mesh)
+    eval_step = make_eval_step(model)
+    m = eval_step(state8, shard_batch(batch, mesh))
+    m1 = eval_step(state, batch)
+    np.testing.assert_allclose(float(m["loss"]), float(m1["loss"]), rtol=1e-5)
+
+
+def test_checkpoint_is_topology_independent(setup, tmp_path):
+    from l3embedding_tpu.training import checkpoints
+
+    model, state, batch = setup
+    mesh = create_mesh()
+    # Save from a mesh-replicated state, restore onto a plain one.
+    state8 = replicate(state, mesh)
+    path = str(tmp_path / "state.ckpt")
+    checkpoints.save_state(path, state8)
+    restored = checkpoints.load_state(path, state)
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
