@@ -13,6 +13,7 @@ pairs/sec on ONE TPU chip divided by that 130 pairs/sec.
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -49,6 +50,14 @@ def main():
     args = p.parse_args()
 
     import jax
+
+    try:
+        # Persistent compilation cache: repeated bench invocations skip
+        # the multi-minute XLA compile.
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+    except Exception:
+        pass
 
     from l3embedding_tpu.models import audio_embedding_fn, build_model
     from l3embedding_tpu.parallel import create_mesh, replicate, shard_batch

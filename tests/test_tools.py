@@ -1,0 +1,87 @@
+"""Functional tests for the repair tool and the 03 CLI surface."""
+
+import csv
+import glob
+import os
+import subprocess
+import sys
+
+import h5py
+import numpy as np
+
+from l3embedding_tpu.data import sample as S
+from tests.test_sample_factory import make_corpus
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    XLA_FLAGS="--xla_force_host_platform_device_count=8",
+)
+
+
+def test_recompute_batch_audio(tmp_path):
+    # Factory batches with metadata, then recompute the audio in place.
+    root = str(tmp_path / "corpus")
+    rows = make_corpus(root, n_videos=3)
+    subset_csv = os.path.join(root, "subset.csv")
+    with open(subset_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["ytid", "audio_filepath",
+                                          "video_filepath"])
+        w.writeheader()
+        w.writerows(rows)
+    batch_dir = str(tmp_path / "batches")
+    S.sample_and_save(0, subset_csv, num_batches=2, output_dir=batch_dir,
+                      num_streamers=2, batch_size=4, random_state=55,
+                      augment=True, include_metadata=True)
+
+    with h5py.File(glob.glob(batch_dir + "/*.h5")[0], "r") as f:
+        before = np.asarray(f["audio"])
+
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "recompute_batch_audio.py"),
+         batch_dir, subset_csv, "--verbose", "1"],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+
+    path = sorted(glob.glob(batch_dir + "/*.h5"))[0]
+    with h5py.File(path, "r") as f:
+        audio = np.asarray(f["audio"])
+        gains = np.asarray(f["audio_gain"])
+        starts = [int(x) for x in f["audio_start_sample_idx"]]
+        files = [x.decode() for x in f["audio_file"]]
+    assert audio.shape == before.shape
+    assert np.all((gains >= 0.9) & (gains <= 1.1))
+    # Recomputed audio must equal the source slice × new gain.
+    from l3embedding_tpu.data.audio_io import read_audio, to_mono_int16
+
+    fname_to_path = {os.path.basename(r["audio_filepath"]): r["audio_filepath"]
+                     for r in rows}
+    src, _ = read_audio(fname_to_path[files[0]])
+    src = to_mono_int16(src).astype(float)
+    expected = (src[starts[0]:starts[0] + 48000] * gains[0]).astype(np.int16)
+    np.testing.assert_array_equal(audio[0, 0], expected)
+
+
+def test_03_cli_functional(tmp_path):
+    from tests.test_training import make_synthetic_corpus
+
+    train_dir = str(tmp_path / "train_h5")
+    valid_dir = str(tmp_path / "valid_h5")
+    make_synthetic_corpus(train_dir, num_blobs=2, blob_size=16, seed=0)
+    make_synthetic_corpus(valid_dir, num_blobs=1, blob_size=8, seed=1)
+    out = str(tmp_path / "out")
+
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "03_train_embedding.py"),
+         "-mt", "tiny_L3", "-e", "1", "-tes", "2", "-ves", "1",
+         "-tbs", "8", "-vbs", "8", "-nl",
+         train_dir, valid_dir, out],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=600,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    runs = glob.glob(os.path.join(out, "embedding", "*", "tiny_L3", "*"))
+    assert len(runs) == 1
+    assert os.path.exists(os.path.join(runs[0], "model_latest.ckpt"))
+    assert os.path.exists(os.path.join(runs[0], "history_csvlog.csv"))
