@@ -110,3 +110,31 @@ def test_sig_tests_functional(tmp_path):
     assert len(tests) == 1
     assert tests[0]["n_folds"] == 4
     assert (out_dir / "us8k_test_acc.png").exists()
+
+
+def test_02_generate_samples_functional(tmp_path):
+    from tests.test_sample_factory import make_corpus
+
+    root = str(tmp_path / "corpus")
+    rows = make_corpus(root, n_videos=3)
+    subset_csv = os.path.join(root, "subset.csv")
+    with open(subset_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["ytid", "audio_filepath",
+                                          "video_filepath"])
+        w.writeheader()
+        w.writerows(rows)
+    out_dir = str(tmp_path / "h5")
+    out = run_cli(
+        "02_generate_samples.py", "-bs", "4", "-ns", "2", "-n", "2",
+        "-a", "-r", "77", subset_csv, "16", out_dir,
+    )
+    import glob as _glob
+
+    import h5py
+
+    files = sorted(_glob.glob(os.path.join(out_dir, "*.h5")))
+    # 16 samples / (2 workers x 4 batch) = 2 batches per worker.
+    assert len(files) == 4
+    with h5py.File(files[0], "r") as f:
+        assert f["audio"].shape == (4, 1, 48000)
+        assert f["video"].shape == (4, 224, 224, 3)
