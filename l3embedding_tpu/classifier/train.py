@@ -312,11 +312,18 @@ def train(features_dir, output_dir, fold_num,
         "min-max" if use_min_max else "no-min-max",
         model_type,
     )
-    model_dir = os.path.join(
+    # Collision-safe run dir (vs the reference's random startup sleep,
+    # classifier/train.py:523-524): append pid on timestamp collision.
+    base = os.path.join(
         output_dir, "classifier", model_id, f"fold{fold_num}",
         datetime.datetime.now().strftime("%Y%m%d%H%M%S"),
     )
-    os.makedirs(model_dir, exist_ok=True)
+    model_dir = base
+    try:
+        os.makedirs(model_dir)
+    except FileExistsError:
+        model_dir = f"{base}-{os.getpid()}"
+        os.makedirs(model_dir, exist_ok=True)
 
     config = {
         "username": getpass.getuser(),

@@ -196,7 +196,14 @@ def generate_sample(
     if include_metadata:
         sample["audio_file"] = os.path.basename(audio_file).encode("utf-8")
         sample["video_file"] = os.path.basename(video_file).encode("utf-8")
-        sample["audio_start_sample_idx"] = audio_start
+        # NOTE: the reference stores the start time in *seconds* under
+        # this field while its repair tool reads it back as a *sample
+        # index* (reference sample.py:383 vs recompute_batch_audio.py:71)
+        # — one reason its batches needed recomputation. We store the
+        # actual sample index so the round-trip is exact.
+        sample["audio_start_sample_idx"] = int(
+            round(audio_start * audio_sampling_frequency)
+        )
         sample["video_start_frame_idx"] = video_start
         sample.update(flatten_dict(audio_aug_params, "audio"))
         sample.update(flatten_dict(video_aug_params, "video"))
@@ -287,6 +294,7 @@ class StreamMux:
         self.rng = np.random.RandomState(random_state)
         self._next_seed = 0
         self._active = []  # list of [generator, remaining_budget]
+        self.dead_streamers = 0  # decode-failure count (observability)
         for _ in range(self.k):
             self._activate_next()
 
@@ -315,7 +323,16 @@ class StreamMux:
             entry = self._active[idx]
             try:
                 sample = next(entry[0])
-            except (StopIteration, StreamerDead):
+            except StreamerDead:
+                self.dead_streamers += 1
+                LOGGER.warning(
+                    "replacing dead streamer (%d failures so far)",
+                    self.dead_streamers,
+                )
+                del self._active[idx]
+                self._activate_next()
+                continue
+            except StopIteration:
                 del self._active[idx]
                 self._activate_next()
                 continue

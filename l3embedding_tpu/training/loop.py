@@ -156,14 +156,24 @@ def train(
 
     if continue_model_dir:
         model_dir = continue_model_dir
+        os.makedirs(model_dir, exist_ok=True)
     else:
-        model_dir = os.path.join(
+        # Collision-safe run dir: the reference sleeps a random 0-10 s so
+        # parallel SLURM tasks don't collide on the same timestamp
+        # (reference classifier/train.py:523-524); we append the pid
+        # instead of sleeping.
+        base = os.path.join(
             output_dir,
             "embedding",
             model_id,
             datetime.datetime.now().strftime("%Y%m%d%H%M%S"),
         )
-    os.makedirs(model_dir, exist_ok=True)
+        model_dir = base
+        try:
+            os.makedirs(model_dir)
+        except FileExistsError:
+            model_dir = f"{base}-{os.getpid()}"
+            os.makedirs(model_dir, exist_ok=True)
     param_dict["model_dir"] = model_dir
 
     with open(os.path.join(model_dir, "config.json"), "w") as fd:
