@@ -99,27 +99,36 @@ class L3AudioTower(nn.Module):
         if x.ndim == 3:
             x = x[:, 0, :]
 
+        from ..ops.pallas_frontend import (
+            melspectrogram_fused,
+            pallas_available,
+            spectrogram_fused,
+        )
+
+        use_fused = self.dtype == jnp.bfloat16 and pallas_available()
+
         if self.frontend_kind == "linear":
-            y = frontend.spectrogram(
-                x, frontend.SpectrogramConfig(), precision=self.precision
-            )
+            cfg = frontend.SpectrogramConfig()
+            if use_fused:
+                y = spectrogram_fused(x, cfg)
+            else:
+                y = frontend.spectrogram(x, cfg, precision=self.precision)
             y = frontend.l3_log_norm(y)
         elif self.frontend_kind == "linear_db":
-            y = frontend.spectrogram(
-                x, frontend.SpectrogramConfig(decibel=True), precision=self.precision
-            )
+            cfg = frontend.SpectrogramConfig(decibel=True)
+            if use_fused:
+                y = spectrogram_fused(x, cfg)
+            else:
+                y = frontend.spectrogram(x, cfg, precision=self.precision)
             y = nn.BatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
             )(y)
         elif self.frontend_kind == "mel":
+            # Fast path: fused Pallas kernels when training in bf16 on a
+            # TPU backend; the f32 path keeps the XLA HIGHEST-precision
+            # formulation — that is the extraction/parity configuration.
             cfg = frontend.MelConfig(n_mels=self.n_mels)
-            # Fast path: the fused Pallas kernel (ops/pallas_frontend)
-            # when training in bf16 on a TPU backend. The f32 path keeps
-            # the XLA HIGHEST-precision formulation — that is the
-            # extraction/parity configuration.
-            from ..ops.pallas_frontend import melspectrogram_fused, pallas_available
-
-            if self.dtype == jnp.bfloat16 and pallas_available():
+            if use_fused:
                 y = melspectrogram_fused(x, cfg)
             else:
                 y = frontend.melspectrogram(x, cfg, precision=self.precision)

@@ -152,6 +152,104 @@ def melspectrogram_fused(
     return jnp.transpose(out, (0, 2, 1))[..., None]
 
 
+@functools.lru_cache(maxsize=None)
+def _padded_stft_bases(n_dft, n_win):
+    """(W_re, W_im) of shape (n_dft, F_pad), bf16, freq-padded."""
+    real, imag = dsp_ref.stft_basis(n_dft, n_win)
+    n_freq = real.shape[1]
+    f_pad = _round_up(n_freq, FREQ_TILE)
+    w_re = np.zeros((n_dft, f_pad), np.float32)
+    w_im = np.zeros((n_dft, f_pad), np.float32)
+    w_re[:, :n_freq] = real
+    w_im[:, :n_freq] = imag
+    import ml_dtypes
+
+    return (
+        w_re.astype(ml_dtypes.bfloat16),
+        w_im.astype(ml_dtypes.bfloat16),
+        n_freq,
+    )
+
+
+def _spec_kernel(frames_ref, wre_ref, wim_ref, out_ref, acc_ref,
+                 *, n_frames, n_freq, power, amin, dynamic_range, decibel,
+                 f_pad):
+    j = pl.program_id(1)
+
+    f = frames_ref[0].astype(wre_ref.dtype)  # (T_pad, n_dft)
+    re = jnp.dot(f, wre_ref[...], preferred_element_type=jnp.float32)
+    im = jnp.dot(f, wim_ref[...], preferred_element_type=jnp.float32)
+    p = re * re + im * im                     # (T_pad, FREQ_TILE)
+    if power != 2.0:
+        p = p ** (power / 2.0)
+    acc_ref[:, pl.ds(j * FREQ_TILE, FREQ_TILE)] = p
+
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        s = acc_ref[...]
+        if decibel:
+            db = 10.0 * (jnp.log(jnp.maximum(s, amin)) / np.log(10.0))
+            row = jax.lax.broadcasted_iota(jnp.int32, db.shape, 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, db.shape, 1)
+            valid = (row < n_frames) & (col < n_freq)
+            ref = jnp.max(jnp.where(valid, db, -jnp.inf))
+            s = jnp.maximum(db - ref, -dynamic_range)
+        out_ref[0] = s
+
+
+def spectrogram_fused(
+    x: jnp.ndarray,
+    cfg: frontend.SpectrogramConfig = frontend.SpectrogramConfig(),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, n) waveforms → (B, n_freq, n_frames, 1) fused |STFT|^power
+    (+ optional dB): the linear front-end of cnn_L3_orig /
+    cnn_L3_kapredbinputbn on-TPU. The L3 log norm (orig) is left to the
+    caller — it fuses trivially in XLA."""
+    batch = x.shape[0]
+    n_frames = cfg.n_frames(x.shape[-1])
+    t_pad = _round_up(n_frames, 8)
+
+    frames = frontend.frame_signal(x, cfg.n_dft, cfg.hop, cfg.padding)
+    if t_pad != n_frames:
+        frames = jnp.pad(frames, ((0, 0), (0, t_pad - n_frames), (0, 0)))
+
+    w_re, w_im, n_freq = _padded_stft_bases(cfg.n_dft, cfg.n_win)
+    f_pad = w_re.shape[1]
+    n_tiles = f_pad // FREQ_TILE
+
+    kernel = functools.partial(
+        _spec_kernel,
+        n_frames=n_frames,
+        n_freq=n_freq,
+        power=cfg.power,
+        amin=1e-10,
+        dynamic_range=80.0,
+        decibel=cfg.decibel,
+        f_pad=f_pad,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(batch, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, t_pad, cfg.n_dft), lambda b, j: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.n_dft, FREQ_TILE), lambda b, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cfg.n_dft, FREQ_TILE), lambda b, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, t_pad, f_pad), lambda b, j: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((batch, t_pad, f_pad), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((t_pad, f_pad), jnp.float32)],
+        interpret=interpret,
+    )(frames, jnp.asarray(w_re), jnp.asarray(w_im))
+
+    out = out[:, :n_frames, :n_freq]
+    return jnp.transpose(out, (0, 2, 1))[..., None]
+
+
 def pallas_available() -> bool:
     """Fused kernels compile only on real TPU backends."""
     return jax.default_backend() not in ("cpu", "gpu")
