@@ -180,7 +180,9 @@ def _spec_kernel(frames_ref, wre_ref, wim_ref, out_ref, acc_ref,
     re = jnp.dot(f, wre_ref[...], preferred_element_type=jnp.float32)
     im = jnp.dot(f, wim_ref[...], preferred_element_type=jnp.float32)
     p = re * re + im * im                     # (T_pad, FREQ_TILE)
-    if power != 2.0:
+    if power == 1.0:
+        p = jnp.sqrt(p)                       # amplitude: cheap VPU rsqrt path
+    elif power != 2.0:
         p = p ** (power / 2.0)
     acc_ref[:, pl.ds(j * FREQ_TILE, FREQ_TILE)] = p
 
