@@ -34,13 +34,7 @@ import warnings
 import h5py
 import numpy as np
 
-from ..ops.image import (
-    adjust_brightness,
-    adjust_saturation,
-    horiz_flip,
-    img_as_float,
-    img_as_ubyte,
-)
+from ..ops.image import img_as_float, img_as_ubyte
 from ..utils.log import LogTimer
 from .audio_io import read_audio, to_mono_int16
 from .utils import flatten_dict, read_csv_as_dicts

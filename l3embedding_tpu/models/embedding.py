@@ -13,13 +13,10 @@ Embedding dims (parity with reference + notebooks/pimodel.ipynb):
 
 from __future__ import annotations
 
-import functools
-
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
-from .registry import MODELS, ModelSpec, build_model
+from .registry import MODELS, build_model
 
 # Reference audio_model.py:461-478.
 AUDIO_POOLINGS = {name: spec.audio_embedding_pooling for name, spec in MODELS.items()}
