@@ -386,18 +386,22 @@ def data_generator(
     return buffer_stream(mux, batch_size)
 
 
-def write_to_h5(path, batch):
-    """One batch per gzip'd HDF5 file (reference sample.py:565-568)."""
+def write_to_h5(path, batch, compression="gzip"):
+    """One batch per HDF5 file (reference sample.py:565-568).
+
+    compression: 'gzip' (reference default, smallest), 'lzf' (h5py-native,
+    ~5x faster decode — the production-throughput choice when the input
+    pipeline must feed a TPU mesh), or None (fastest, largest)."""
     with h5py.File(path, "w") as f:
         for key in batch.keys():
-            f.create_dataset(key, data=batch[key], compression="gzip")
+            f.create_dataset(key, data=batch[key], compression=compression)
 
 
 def sample_and_save(
     index, subset_path, num_batches, output_dir,
     num_streamers=32, batch_size=64, random_state=20171021,
     precompute=False, num_distractors=1, augment=False, rate=32,
-    max_videos=None, include_metadata=False,
+    max_videos=None, include_metadata=False, compression="gzip",
 ):
     """Worker entry point: generate and persist num_batches batches
     (reference sample.py:571-595); filenames {seed}_{worker}_{batch}.h5."""
@@ -418,6 +422,6 @@ def sample_and_save(
         batch_path = os.path.join(
             output_dir, f"{random_state + index}_{index}_{sub_index}.h5"
         )
-        write_to_h5(batch_path, batch)
+        write_to_h5(batch_path, batch, compression=compression)
         if sub_index == (num_batches - 1):
             break

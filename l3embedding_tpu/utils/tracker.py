@@ -95,11 +95,3 @@ class NullTracker(ExperimentTracker):
     def update(self, model_dir: str, values: dict) -> None:
         pass
 
-
-def make_tracker(gsheet_id=None, google_dev_app_name=None, output_dir=None):
-    """Tracker factory honoring the reference's gsheet flags: when a
-    gsheet id is passed but no Sheets client is importable, fall back to
-    JSONL in the run directory (logged by the caller)."""
-    if output_dir:
-        return JSONLTracker(os.path.join(output_dir, "experiments.jsonl"))
-    return NullTracker()
