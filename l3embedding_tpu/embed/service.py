@@ -1,0 +1,95 @@
+"""In-process embedding service with request micro-batching.
+
+The reference's closest analog is per-file Keras predict inside the
+feature-generation loop; for production serving a TPU wants batched
+work. `EmbeddingService` accepts concurrent single-clip (or multi-clip)
+requests from any number of threads, coalesces them into device batches
+(up to max_batch_size, waiting at most max_latency_ms for stragglers),
+runs the resident jitted extractor, and scatters results back to the
+callers' futures. Shape bucketing in the extractor keeps compilation
+bounded regardless of arrival pattern.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+
+import numpy as np
+
+from .extract import EmbeddingExtractor
+
+
+class EmbeddingService:
+    def __init__(
+        self,
+        extractor: EmbeddingExtractor,
+        max_batch_size: int = 128,
+        max_latency_ms: float = 5.0,
+    ):
+        self.extractor = extractor
+        self.max_batch_size = max_batch_size
+        self.max_latency = max_latency_ms / 1000.0
+        self._q: queue.Queue = queue.Queue()
+        self._stop = threading.Event()
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, windows: np.ndarray) -> Future:
+        """(N, 48000) float32 windows → Future[(N, dim) embeddings]."""
+        windows = np.ascontiguousarray(windows, dtype=np.float32)
+        if windows.ndim == 1:
+            windows = windows[None, :]
+        fut: Future = Future()
+        self._q.put((windows, fut))
+        return fut
+
+    def embed(self, windows: np.ndarray) -> np.ndarray:
+        return self.submit(windows).result()
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                first = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            count = first[0].shape[0]
+            deadline = self.max_latency
+            import time
+
+            t0 = time.perf_counter()
+            while count < self.max_batch_size:
+                remaining = deadline - (time.perf_counter() - t0)
+                if remaining <= 0:
+                    break
+                try:
+                    item = self._q.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                batch.append(item)
+                count += item[0].shape[0]
+
+            windows = np.concatenate([w for w, _ in batch])
+            try:
+                emb = self.extractor.embed_windows(windows)
+                start = 0
+                for w, fut in batch:
+                    fut.set_result(emb[start : start + w.shape[0]])
+                    start += w.shape[0]
+            except Exception as e:  # pragma: no cover
+                for _, fut in batch:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    def close(self):
+        self._stop.set()
+        self._worker.join(timeout=2)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
