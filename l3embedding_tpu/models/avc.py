@@ -47,5 +47,9 @@ class AVCModel(nn.Module):
         # Logits in f32 so the loss/softmax is always full precision.
         return logits.astype(jnp.float32)
 
-    def predict_proba(self, video, audio):
-        return nn.softmax(self(video, audio, train=False))
+
+def predict_proba(model, variables, video, audio):
+    """Correspondence probabilities — the reference's model.predict()
+    surface (softmax over the 2-way head)."""
+    logits = model.apply(variables, video, audio, train=False)
+    return nn.softmax(logits)
