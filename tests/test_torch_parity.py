@@ -143,3 +143,63 @@ def test_vision_embedding_matches_torch(setup):
     theirs = t.permute(0, 2, 3, 1).flatten(1).numpy()
     assert ours.shape == theirs.shape == (2, 8192)
     np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+def torch_audio_forward(variables, features_nhwc):
+    """Independent NCHW implementation of the melspec audio conv stack,
+    fed precomputed (float64-exact) mel features → (pooled 'original'
+    6144-d embedding, final 512-d output)."""
+    p = variables["params"]["audio_model"]
+    s = variables["batch_stats"]["audio_model"]
+    x = torch.from_numpy(
+        np.asarray(features_nhwc, np.float32).transpose(0, 3, 1, 2).copy()
+    )
+    with torch.no_grad():
+        x = _torch_bn(p, s, "BatchNorm_0")(x)
+
+        def block(x, idx):
+            sub_p, sub_s = p[f"ConvBNRelu_{idx}"], s[f"ConvBNRelu_{idx}"]
+            x = _torch_conv(sub_p, "Conv_0")(x)
+            return torch.relu(_torch_bn(sub_p, sub_s, "BatchNorm_0")(x))
+
+        pool = torch.nn.MaxPool2d(2, 2)  # VALID (audio pools)
+        x = block(x, 0); x = block(x, 1); x = pool(x)
+        x = block(x, 2); x = block(x, 3); x = pool(x)
+        x = block(x, 4); x = block(x, 5); x = pool(x)
+        x = block(x, 6)
+        x = _torch_conv(p, "audio_embedding_layer")(x)
+        feat = x  # raw embedding conv output (pre-BN/ReLU)
+        emb = torch.nn.MaxPool2d((8, 8))(feat)       # 'original' pooling
+        emb = emb.permute(0, 2, 3, 1).flatten(1)     # NHWC flatten
+        x = torch.relu(_torch_bn(p, s, "BatchNorm_1")(feat))
+        out = torch.nn.MaxPool2d((32, 24))(x).permute(0, 2, 3, 1).flatten(1)
+    return emb.numpy(), out.numpy()
+
+
+def test_audio_embedding_baseline_cosine_gate(setup):
+    """The BASELINE parity gate (embedding cosine >= 0.999), executed
+    with an independent torch implementation standing in for Keras:
+    float64 numpy DSP front-end + torch conv stack vs our full
+    audio→embedding path."""
+    from l3embedding_tpu.models import audio_embedding_fn
+    from l3embedding_tpu.ops import dsp_ref
+
+    model, variables, _ = setup
+    rng = np.random.RandomState(3)
+    audio = (rng.randn(2, 1, 48000).astype(np.float32) * 0.2)
+
+    # Ours: full on-accelerator path (jnp frontend + flax towers).
+    ours = np.asarray(audio_embedding_fn("cnn_L3_melspec2", "original")(
+        variables, audio
+    ))
+
+    # Theirs: float64 mel features + torch convs.
+    feats = np.stack(
+        [dsp_ref.melspectrogram(a[0], n_mels=256) for a in audio]
+    )[..., None]
+    theirs, _ = torch_audio_forward(variables, feats)
+
+    assert ours.shape == theirs.shape == (2, 6144)
+    for a, b in zip(ours, theirs):
+        cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+        assert cos > 0.999, cos
