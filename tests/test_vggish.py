@@ -115,3 +115,18 @@ def test_vggish_extractor_pipeline(tmp_path):
             )
             np.testing.assert_allclose(post.mean(), 123.0, rtol=0.1)
             np.testing.assert_allclose(post.std(), 75.0, rtol=0.1)
+
+
+def test_vggish_feature_path_through_05_stack(tmp_path):
+    """features='vggish' dispatch (reference features.py:309-323) works
+    end-to-end over a WAV file via the resident extractor."""
+    from l3embedding_tpu.data.audio_io import write_wav
+    from l3embedding_tpu.data.usc.features import compute_file_features
+
+    x, sr = make_sine()
+    path = str(tmp_path / "clip.wav")
+    write_wav(path, x, sr)
+    feats = compute_file_features(path, "vggish")
+    assert feats.ndim == 2
+    assert feats.shape[1] == 128
+    assert np.all(np.isfinite(feats))
