@@ -1,3 +1,3 @@
 """TPU-native compute ops: DSP front-ends, image ops, Pallas kernels."""
 
-from . import dsp_ref, frontend  # noqa: F401
+from . import dsp_ref, frontend, image  # noqa: F401
