@@ -28,9 +28,9 @@ def make_batch(batch_size, rng):
             np.uint8
         ),
         "audio": (rng.randn(batch_size, 1, 48000) * 8000).astype(np.int16),
-        "label": np.stack(
-            [rng.randint(0, 2, size=batch_size)] * 2, axis=1
-        ).astype(np.float32),
+        "label": np.eye(2, dtype=np.float32)[
+            rng.randint(0, 2, size=batch_size)
+        ],
     }
 
 
@@ -62,7 +62,7 @@ def main():
     from l3embedding_tpu.models import audio_embedding_fn, build_model
     from l3embedding_tpu.parallel import create_mesh, replicate, shard_batch
     from l3embedding_tpu.training.state import create_train_state
-    from l3embedding_tpu.training.steps import make_train_step, preprocess_batch
+    from l3embedding_tpu.training.steps import make_train_step
 
     import jax.numpy as jnp
 
