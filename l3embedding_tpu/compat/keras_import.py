@@ -46,14 +46,17 @@ def _read_keras_h5(path):
         root = f
         layer_names = [n.decode() if isinstance(n, bytes) else n
                        for n in root.attrs["layer_names"]]
-        # Multi-GPU wrapper: a single sub-model layer holding everything.
-        if len(layer_names) <= 4 and any(
-            isinstance(root[n], h5py.Group)
-            and "layer_names" in root[n].attrs
-            for n in layer_names
-        ):
+        # Multi-GPU wrapper (reference training_utils.py:21-170 saves the
+        # wrapped model): the real model appears as one sub-group carrying
+        # its own 'layer_names' (the tf.slice lambdas and concat layers
+        # around it are weightless). Descend into it.
+        if not any(n in ("vision_model", "audio_model") for n in layer_names):
             for n in layer_names:
-                if "layer_names" in root[n].attrs:
+                if (
+                    n in root
+                    and isinstance(root[n], h5py.Group)
+                    and "layer_names" in root[n].attrs
+                ):
                     root = root[n]
                     layer_names = [
                         m.decode() if isinstance(m, bytes) else m

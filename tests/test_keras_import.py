@@ -158,3 +158,35 @@ def test_import_shape_mismatch_raises(tmp_path):
         # melspec1 has different pooling/mel dims but same conv stack; the
         # wrong model type with incompatible head widths must fail loudly.
         import_avc_weights(path, "tiny_L3")
+
+
+def test_import_multigpu_wrapped(tmp_path):
+    """Multi-GPU-wrapped layout: the whole model nested one level deeper
+    behind weightless slice/concat layers (reference model.py:76-77)."""
+    rng = np.random.RandomState(9)
+    inner_path = str(tmp_path / "inner.h5")
+    truth = synthesize_keras_h5(inner_path, rng)
+
+    wrapped_path = str(tmp_path / "wrapped.h5")
+    with h5py.File(inner_path, "r") as src, h5py.File(wrapped_path, "w") as dst:
+        dst.attrs["layer_names"] = [
+            b"input_1", b"input_2", b"lambda_1", b"lambda_2",
+            b"cnn_L3_melspec2", b"concatenate_2",
+        ]
+        for name in ("input_1", "input_2", "lambda_1", "lambda_2",
+                     "concatenate_2"):
+            g = dst.create_group(name)
+            g.attrs["weight_names"] = []
+        src.copy(src["/"], dst, name="cnn_L3_melspec2")
+        # h5py copies root attrs too; ensure the nested group carries the
+        # inner layer_names.
+        dst["cnn_L3_melspec2"].attrs["layer_names"] = src.attrs["layer_names"]
+
+    variables = import_avc_weights(wrapped_path, "cnn_L3_melspec2")
+    np.testing.assert_array_equal(
+        variables["params"]["merge_dense"]["kernel"], truth["dense_1"][0]
+    )
+    np.testing.assert_array_equal(
+        variables["params"]["audio_model"]["audio_embedding_layer"]["kernel"],
+        truth["audio"][-2][1][0],
+    )
