@@ -69,6 +69,11 @@ def parse_arguments():
                         default="float32", choices=["float32", "bfloat16"],
                         help="Tower compute dtype; bfloat16 enables the "
                         "mixed-precision fast path (params stay float32)")
+    parser.add_argument("--accum-steps", dest="accum_steps", type=int,
+                        default=1,
+                        help="Gradient-accumulation microbatches per "
+                        "optimizer step (large effective batches at "
+                        "microbatch activation memory)")
     parser.add_argument("train_data_dir", type=str,
                         help="Path to directory of training h5 batch files")
     parser.add_argument("validation_data_dir", type=str,

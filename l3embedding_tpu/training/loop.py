@@ -106,6 +106,7 @@ def train(
     use_mesh=True,
     profile_steps=0,
     compute_dtype="float32",
+    accum_steps=1,
 ):
     if not LOGGER.handlers:
         init_console_logger(LOGGER, verbose=verbose)
@@ -224,7 +225,7 @@ def train(
     if mesh is not None:
         state = replicate(state, mesh)
 
-    train_step = make_train_step(model)
+    train_step = make_train_step(model, accum_steps=accum_steps)
     eval_step = make_eval_step(model)
 
     if gsheet_id:

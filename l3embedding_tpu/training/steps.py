@@ -49,11 +49,22 @@ def l2_penalty(params):
     return WEIGHT_DECAY * total
 
 
-def make_train_step(model, donate: bool = True):
+def make_train_step(model, donate: bool = True, accum_steps: int = 1):
     """Returns jitted fn(state, batch) -> (state, metrics).
 
     batch: dict with 'video' (B,224,224,3 uint8|f32), 'audio'
-    (B,1,48000 int16|f32), 'label' (B,2 float)."""
+    (B,1,48000 int16|f32), 'label' (B,2 float).
+
+    accum_steps > 1 splits the batch into that many microbatches and
+    accumulates gradients under lax.scan before one optimizer update —
+    large effective batches at microbatch-sized activation memory (and,
+    in this dev environment, beyond the remote compiler's per-program
+    batch ceiling; docs/ROUND_NOTES.md). BatchNorm statistics update
+    sequentially per microbatch (momentum applied accum_steps times per
+    step), matching what sequential small batches would do.
+    """
+    if accum_steps > 1:
+        return _make_accum_train_step(model, donate, accum_steps)
 
     def train_step(state, batch):
         video, audio = preprocess_batch(batch["video"], batch["audio"])
@@ -79,6 +90,61 @@ def make_train_step(model, donate: bool = True):
             (jnp.argmax(logits, -1) == jnp.argmax(labels, -1)).astype(jnp.float32)
         )
         metrics = {"loss": ce, "acc": acc, "reg_loss": loss - ce}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def _make_accum_train_step(model, donate: bool, accum_steps: int):
+    def train_step(state, batch):
+        def reshape(x):
+            b = x.shape[0]
+            if b % accum_steps:
+                raise ValueError(
+                    f"batch size {b} not divisible by accum_steps "
+                    f"{accum_steps}"
+                )
+            return x.reshape((accum_steps, b // accum_steps) + x.shape[1:])
+
+        micro = jax.tree.map(reshape, batch)
+
+        def loss_fn(params, batch_stats, mb):
+            video, audio = preprocess_batch(mb["video"], mb["audio"])
+            labels = mb["label"].astype(jnp.float32)
+            logits, updates = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                video,
+                audio,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            ce = optax.softmax_cross_entropy(logits, labels).mean()
+            acc = jnp.mean(
+                (jnp.argmax(logits, -1) == jnp.argmax(labels, -1)).astype(
+                    jnp.float32
+                )
+            )
+            return ce + l2_penalty(params), (updates["batch_stats"], ce, acc)
+
+        grad_fn = jax.grad(loss_fn, has_aux=True)
+
+        def body(carry, mb):
+            grads_acc, batch_stats = carry
+            grads, (new_bs, ce, acc) = grad_fn(state.params, batch_stats, mb)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (grads_acc, new_bs), (ce, acc)
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        (grads_sum, new_bs), (ces, accs) = jax.lax.scan(
+            body, (zero_grads, state.batch_stats), micro
+        )
+        grads = jax.tree.map(lambda g: g / accum_steps, grads_sum)
+        new_state = state.apply_gradients(grads, new_bs)
+        metrics = {
+            "loss": ces.mean(),
+            "acc": accs.mean(),
+            "reg_loss": l2_penalty(state.params),
+        }
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
