@@ -180,3 +180,22 @@ def test_factory_batches_feed_training_reader(corpus, tmp_path):
     batch = next(gen)
     assert batch["audio"].shape == (6, 1, 48000)
     assert batch["video"].shape == (6, 224, 224, 3)
+
+
+def test_sample_and_save_is_reproducible(corpus, tmp_path):
+    """Same seed → byte-identical batch files (reproducibility contract
+    the resume/repair tooling depends on)."""
+    _, subset_csv, _ = corpus
+    outs = []
+    for run in ("a", "b"):
+        out_dir = str(tmp_path / run)
+        S.sample_and_save(
+            0, subset_csv, num_batches=2, output_dir=out_dir,
+            num_streamers=2, batch_size=4, random_state=99, augment=True,
+        )
+        outs.append(out_dir)
+    for fname in sorted(os.listdir(outs[0])):
+        with h5py.File(os.path.join(outs[0], fname)) as fa, \
+             h5py.File(os.path.join(outs[1], fname)) as fb:
+            for key in ("audio", "video", "label"):
+                np.testing.assert_array_equal(fa[key][...], fb[key][...])
