@@ -144,6 +144,11 @@ class AsyncBatchPipeline:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+        # Join the worker: a daemon thread still inside an h5py read at
+        # interpreter exit deadlocks against HDF5's atexit cleanup (global
+        # lock), hanging the process. The worker notices _stop at its next
+        # queue.put attempt, so this returns promptly.
+        self._thread.join(timeout=30)
 
     def __enter__(self):
         return self
