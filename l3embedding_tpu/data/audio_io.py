@@ -98,7 +98,7 @@ def read_audio(path: str, dtype: str = "int16") -> tuple[np.ndarray, int]:
     else:
         data, sr = read_via_ffmpeg(path)
     if dtype == "float32":
-        data = (data.astype(np.float32) / 32768.0, sr)[0]
+        data = data.astype(np.float32) / 32768.0
     return data, sr
 
 

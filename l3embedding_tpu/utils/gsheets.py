@@ -105,7 +105,7 @@ def _col_letter_to_idx(letter: str) -> int:
 def request_with_retry(request_fn, num_attempts=50, backoff=0.1):
     """Retry wrapper (reference gsheets.py:143-155)."""
     last = None
-    for attempt in range(num_attempts):
+    for attempt in range(max(1, num_attempts)):
         try:
             return request_fn()
         except Exception as e:  # pragma: no cover - local backend rarely fails
