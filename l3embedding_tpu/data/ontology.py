@@ -90,6 +90,17 @@ class ASOntology:
             raise ValueError(f"No node with name {name}")
         return self._nodes[self._name_to_id[name]]
 
+    def get_node_by_name_ci(self, name: str) -> OntologyNode:
+        """Case-insensitive name lookup (labels are lower-cased by the
+        subset builder, reference subsets.py:118)."""
+        if name in self._name_to_id:
+            return self._nodes[self._name_to_id[name]]
+        lowered = name.lower()
+        for n, nid in self._name_to_id.items():
+            if n.lower() == lowered:
+                return self._nodes[nid]
+        raise ValueError(f"No node with name {name}")
+
 
 # Backwards-compatible alias matching the reference class name pair.
 ASOntologyNode = OntologyNode

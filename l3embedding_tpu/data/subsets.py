@@ -80,9 +80,8 @@ def _label_filter_match(item_labels, flt, ontology, compat_buggy_children):
         )
     for label in item_labels:
         try:
-            label_node = ontology.get_node_by_name(label)
+            label_node = ontology.get_node_by_name_ci(label)
         except ValueError:
-            # Labels were lower-cased at lookup time; search by id path.
             continue
         if filter_node.is_child(label_node):
             return True
