@@ -38,6 +38,10 @@ KERNEL_INIT = nn.initializers.he_normal()
 
 
 def _max_pool(x, window, strides=None, padding="VALID"):
+    # reduce_window (and its SelectAndScatter backward) measured fastest
+    # on TPU v5e for these shapes — 3.0/4.4 ms fwd/bwd at
+    # (128,224,224,64) bf16 vs 3.8/12.8 for a reshape+max formulation
+    # and 5.3/17.4 for strided-slice maximum (tools/ablate_r2.py).
     strides = strides or window
     return nn.max_pool(x, window_shape=window, strides=strides, padding=padding)
 
@@ -99,18 +103,28 @@ class L3AudioTower(nn.Module):
         if x.ndim == 3:
             x = x[:, 0, :]
 
+        import os
+
         from ..ops.pallas_frontend import (
             melspectrogram_fused,
             pallas_available,
             spectrogram_fused,
         )
 
-        use_fused = self.dtype == jnp.bfloat16 and pallas_available()
+        # Training-time (bf16) front-end implementation: the chunked-
+        # framing XLA bf16 path by default; L3_TRAIN_FRONTEND=fused picks
+        # the Pallas kernel (kept for the ablation; the XLA path measured
+        # faster end-to-end once the gather framing was removed).
+        fast = self.dtype == jnp.bfloat16
+        impl = os.environ.get("L3_TRAIN_FRONTEND", "xla")
+        use_fused = fast and impl == "fused" and pallas_available()
 
         if self.frontend_kind == "linear":
             cfg = frontend.SpectrogramConfig()
             if use_fused:
                 y = spectrogram_fused(x, cfg)
+            elif fast:
+                y = frontend.spectrogram_bf16(x, cfg)
             else:
                 y = frontend.spectrogram(x, cfg, precision=self.precision)
             y = frontend.l3_log_norm(y)
@@ -118,18 +132,22 @@ class L3AudioTower(nn.Module):
             cfg = frontend.SpectrogramConfig(decibel=True)
             if use_fused:
                 y = spectrogram_fused(x, cfg)
+            elif fast:
+                y = frontend.spectrogram_bf16(x, cfg)
             else:
                 y = frontend.spectrogram(x, cfg, precision=self.precision)
             y = nn.BatchNorm(
                 use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS
             )(y)
         elif self.frontend_kind == "mel":
-            # Fast path: fused Pallas kernels when training in bf16 on a
-            # TPU backend; the f32 path keeps the XLA HIGHEST-precision
-            # formulation — that is the extraction/parity configuration.
+            # Fast path: bf16 MXU formulation when training in bf16; the
+            # f32 path keeps the XLA HIGHEST-precision formulation — that
+            # is the extraction/parity configuration.
             cfg = frontend.MelConfig(n_mels=self.n_mels)
             if use_fused:
                 y = melspectrogram_fused(x, cfg)
+            elif fast:
+                y = frontend.melspectrogram_bf16(x, cfg)
             else:
                 y = frontend.melspectrogram(x, cfg, precision=self.precision)
             y = nn.BatchNorm(

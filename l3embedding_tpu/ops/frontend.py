@@ -109,6 +109,101 @@ def frame_signal(x: jnp.ndarray, n_dft: int, hop: int, padding: str) -> jnp.ndar
     )
 
 
+def frame_signal_chunked(
+    x: jnp.ndarray, n_dft: int, hop: int, padding: str
+) -> jnp.ndarray:
+    """(B, n) waveforms → (B, n_frames, k*hop) *extended* frames.
+
+    TPU-fast alternative to frame_signal's elementwise gather (which
+    materializes ~8.5x-duplicated data through a slow scalar gather):
+    reshape the waveform into hop-sized chunks and concatenate k = ceil(
+    n_dft/hop) shifted chunk views — pure slices and concats, no gather.
+    Row t holds x[t*hop : (t+k)*hop]; only the first n_dft columns are
+    the frame, so DFT bases must be zero-padded to k*hop rows
+    (stft_basis_padded) — the trailing columns then contribute nothing.
+    """
+    n = x.shape[-1]
+    if padding == "same":
+        left, right = dsp_ref.same_pad_amounts(n, n_dft, hop)
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(left, right)])
+        n = n + left + right
+    frames = dsp_ref.num_frames(n, n_dft, hop, "valid")
+    k = -(-n_dft // hop)
+    total = (frames - 1 + k) * hop
+    if total > n:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, total - n)])
+    elif total < n:
+        x = x[..., :total]
+    chunks = x.reshape(x.shape[:-1] + (frames - 1 + k, hop))
+    parts = [chunks[..., t : t + frames, :] for t in range(k)]
+    return jnp.concatenate(parts, axis=-1)
+
+
+@functools.lru_cache(maxsize=None)
+def _stft_basis_padded(n_dft: int, n_win: int | None, width: int, bf16: bool):
+    """DFT bases zero-padded from n_dft to `width` rows (for chunked
+    frames), optionally stored bf16 for MXU streaming."""
+    real, imag = dsp_ref.stft_basis(n_dft, n_win)
+    n_freq = real.shape[1]
+    w_re = np.zeros((width, n_freq), np.float32)
+    w_im = np.zeros((width, n_freq), np.float32)
+    w_re[:n_dft] = real
+    w_im[:n_dft] = imag
+    if bf16:
+        import ml_dtypes
+
+        return w_re.astype(ml_dtypes.bfloat16), w_im.astype(ml_dtypes.bfloat16)
+    return w_re, w_im
+
+
+def melspectrogram_bf16(x: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.ndarray:
+    """(B, n) → (B, n_mels, n_frames, 1) mel features, bf16 MXU path.
+
+    The training-time front-end: chunked framing (no gather), bf16
+    operands with f32 accumulation on both matmuls — numerics match the
+    fused Pallas kernel (pallas_frontend.melspectrogram_fused), layout
+    and API match melspectrogram.
+    """
+    ext = frame_signal_chunked(x, cfg.n_dft, cfg.hop, cfg.padding)
+    ext = ext.astype(jnp.bfloat16)
+    w_re, w_im = _stft_basis_padded(cfg.n_dft, None, ext.shape[-1], bf16=True)
+    re = jnp.matmul(ext, jnp.asarray(w_re), preferred_element_type=jnp.float32)
+    im = jnp.matmul(ext, jnp.asarray(w_im), preferred_element_type=jnp.float32)
+    p = re * re + im * im
+    mel_t = jnp.asarray(
+        _mel_matrix_f32(cfg.sr, cfg.n_dft, cfg.n_mels, cfg.fmin, cfg.fmax, cfg.htk)
+    )
+    m = jnp.matmul(
+        p.astype(jnp.bfloat16),
+        mel_t.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    if cfg.power_melgram != 2.0:
+        m = jnp.sqrt(jnp.maximum(m, 0.0)) ** cfg.power_melgram
+    m = jnp.transpose(m, (0, 2, 1))[..., None]
+    if cfg.decibel:
+        m = amplitude_to_db(m)
+    return m
+
+
+def spectrogram_bf16(
+    x: jnp.ndarray, cfg: SpectrogramConfig = SpectrogramConfig()
+) -> jnp.ndarray:
+    """(B, n) → (B, n_freq, n_frames, 1) |STFT|^power, bf16 MXU path
+    (training-time variant of spectrogram; see melspectrogram_bf16)."""
+    ext = frame_signal_chunked(x, cfg.n_dft, cfg.hop, cfg.padding)
+    ext = ext.astype(jnp.bfloat16)
+    w_re, w_im = _stft_basis_padded(cfg.n_dft, cfg.n_win, ext.shape[-1], bf16=True)
+    re = jnp.matmul(ext, jnp.asarray(w_re), preferred_element_type=jnp.float32)
+    im = jnp.matmul(ext, jnp.asarray(w_im), preferred_element_type=jnp.float32)
+    p = re * re + im * im
+    s = p ** (cfg.power / 2.0) if cfg.power != 2.0 else p
+    s = jnp.transpose(s, (0, 2, 1))[..., None]
+    if cfg.decibel:
+        s = amplitude_to_db(s)
+    return s
+
+
 def power_frames(
     x: jnp.ndarray,
     n_dft: int,
