@@ -1,14 +1,28 @@
-"""Headline benchmark: cnn_L3_melspec2 AVC training throughput (pairs/sec).
+"""Headline benchmark: cnn_L3_melspec2 AVC training + embedding extraction.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The default run measures BOTH BASELINE.json metrics ("AVC pairs/sec/chip
+(melspec2 train); 1s-clip embeddings/sec extract") in one invocation;
+extraction lands in "extra" alongside alternative baseline framings.
 
 Baseline derivation (BASELINE.md): the reference recorded no absolute
 throughput; its production recipe trained 300 epochs x 4096 batches x 64
-pairs (78.6M pairs) on 4x V100 within a 7-day SLURM budget
-(reference jobs/l3embedding-train-melspec2-09192018.sbatch:3-9,31-46),
-i.e. >=130 pairs/sec aggregate if the full budget was used — the most
-favorable (fastest) reading for the reference. vs_baseline is measured
-pairs/sec on ONE TPU chip divided by that 130 pairs/sec.
+pairs (78.6M pairs) on 4x V100 within a 7-day SLURM budget (reference
+jobs/l3embedding-train-melspec2-09192018.sbatch:3-9,31-46), i.e. >=130
+pairs/sec *aggregate over 4 GPUs* if the full budget was used — the most
+favorable (fastest) reading for the reference.
+
+vs_baseline framing: BASELINE.json's metric is pairs/sec **per chip**
+and its target is stated "on v5e-8", so the comparison is normalized per
+accelerator: measured pairs/sec/chip (one v5e chip) over the reference's
+per-GPU rate (130/4 = 32.5 pairs/sec/V100). Two other framings are
+reported in "extra" rather than hidden: `vs_ref_4gpu_aggregate` divides
+the single-chip rate by the full 4-GPU 130 pairs/sec (the round-1
+framing — one TPU chip asked to beat four V100s combined), and
+`v5e8_projected_pairs_per_sec` multiplies the per-chip rate to the
+target's v5e-8 topology (8 chips, pure DP; the gradient psum is 19 MB —
+sub-ms on ICI and overlapped with backward, so near-linear scaling; the
+sharded step itself is validated by __graft_entry__.dryrun_multichip).
 """
 
 import argparse
@@ -19,7 +33,9 @@ import time
 
 import numpy as np
 
-REFERENCE_PAIRS_PER_SEC = 78_643_200 / (7 * 86_400)  # ≈130, 4x V100 aggregate
+REFERENCE_PAIRS_PER_SEC_4GPU = 78_643_200 / (7 * 86_400)  # ≈130 aggregate
+REFERENCE_PAIRS_PER_SEC_PER_GPU = REFERENCE_PAIRS_PER_SEC_4GPU / 4  # ≈32.5
+V5E_POD_CHIPS = 8
 
 
 def make_batch(batch_size, rng):
@@ -34,13 +50,85 @@ def make_batch(batch_size, rng):
     }
 
 
+def bench_train(args, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from l3embedding_tpu.models import build_model
+    from l3embedding_tpu.parallel import create_mesh, replicate, shard_batch
+    from l3embedding_tpu.training.state import create_train_state
+    from l3embedding_tpu.training.steps import make_train_step
+
+    spec = build_model(args.model_type)
+    compute_dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    model = spec.module(compute_dtype=compute_dtype)
+    mesh = create_mesh()
+
+    state = create_train_state(
+        model,
+        jax.random.PRNGKey(0),
+        spec.video_input_shape,
+        spec.audio_input_shape,
+        learning_rate=1e-5,
+    )
+    state = replicate(state, mesh)
+    step = make_train_step(model)
+    batches = [
+        shard_batch(make_batch(args.batch_size, rng), mesh) for _ in range(2)
+    ]
+
+    for i in range(args.warmup):
+        state, metrics = step(state, batches[i % 2])
+    float(metrics["loss"])  # scalar fetch: the only reliable sync here
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = step(state, batches[i % 2])
+    float(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = args.steps * args.batch_size / dt
+    return pairs_per_sec / jax.device_count()
+
+
+def bench_extract(args, rng):
+    import jax
+
+    from l3embedding_tpu.models import audio_embedding_fn, build_model
+
+    spec = build_model(args.model_type)
+    model = spec.module()
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        np.zeros((1, 224, 224, 3), np.float32),
+        np.zeros((1, 1, 48000), np.float32),
+        train=False,
+    )
+    fn = jax.jit(audio_embedding_fn(args.model_type, "short"))
+    import jax.numpy as jnp
+
+    audio = jnp.asarray(
+        (rng.randn(args.batch_size, 1, 48000) * 0.1).astype(np.float32)
+    )
+    emb = fn(variables, audio)
+    float(emb[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        emb = fn(variables, audio)
+    float(emb[0, 0])
+    dt = time.perf_counter() - t0
+    return args.steps * args.batch_size / dt
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model-type", default="cnn_L3_melspec2")
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
-    p.add_argument("--mode", choices=["train", "extract"], default="train")
+    p.add_argument(
+        "--mode", choices=["both", "train", "extract"], default="both"
+    )
     p.add_argument(
         "--dtype",
         choices=["bf16", "f32"],
@@ -59,90 +147,51 @@ def main():
     except Exception:
         pass
 
-    from l3embedding_tpu.models import audio_embedding_fn, build_model
-    from l3embedding_tpu.parallel import create_mesh, replicate, shard_batch
-    from l3embedding_tpu.training.state import create_train_state
-    from l3embedding_tpu.training.steps import make_train_step
-
-    import jax.numpy as jnp
-
     rng = np.random.RandomState(0)
-    spec = build_model(args.model_type)
-    compute_dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-    model = (
-        spec.module(compute_dtype=compute_dtype)
-        if args.mode == "train"
-        else spec.module()
-    )
-    mesh = create_mesh()
 
-    if args.mode == "train":
-        state = create_train_state(
-            model,
-            jax.random.PRNGKey(0),
-            spec.video_input_shape,
-            spec.audio_input_shape,
-            learning_rate=1e-5,
-        )
-        state = replicate(state, mesh)
-        step = make_train_step(model)
-        batches = [
-            shard_batch(make_batch(args.batch_size, rng), mesh) for _ in range(2)
-        ]
+    if args.mode == "extract":
+        clips = bench_extract(args, rng)
+        print(json.dumps({
+            "metric": "embedding_clips_per_sec_melspec2_short",
+            "value": round(clips, 2),
+            "unit": "1s-clips/sec",
+            "vs_baseline": round(clips / REFERENCE_PAIRS_PER_SEC_4GPU, 2),
+        }))
+        return
 
-        for i in range(args.warmup):
-            state, metrics = step(state, batches[i % 2])
-        float(metrics["loss"])  # value fetch: the only reliable sync here
-
-        t0 = time.perf_counter()
-        for i in range(args.steps):
-            state, metrics = step(state, batches[i % 2])
-        float(metrics["loss"])
-        dt = time.perf_counter() - t0
-
-        pairs_per_sec = args.steps * args.batch_size / dt
-        per_chip = pairs_per_sec / jax.device_count()
-        print(
-            json.dumps(
-                {
-                    "metric": "avc_train_pairs_per_sec_per_chip_melspec2",
-                    "value": round(per_chip, 2),
-                    "unit": "pairs/sec/chip",
-                    "vs_baseline": round(
-                        pairs_per_sec / REFERENCE_PAIRS_PER_SEC, 2
-                    ),
-                }
-            )
+    per_chip = bench_train(args, rng)
+    result = {
+        "metric": "avc_train_pairs_per_sec_per_chip_melspec2",
+        "value": round(per_chip, 2),
+        "unit": "pairs/sec/chip",
+        # Per-accelerator comparison (BASELINE.json metric is per chip):
+        # one v5e chip vs one of the reference's four V100s.
+        "vs_baseline": round(per_chip / REFERENCE_PAIRS_PER_SEC_PER_GPU, 2),
+        "extra": {
+            "baseline_framing": (
+                "vs_baseline = pairs/sec/chip over the reference per-GPU "
+                "rate (130/4 = 32.5 pairs/sec/V100); see bench.py "
+                "docstring and BASELINE.md for the derivation and the "
+                "alternative framings reported below"
+            ),
+            "vs_ref_4gpu_aggregate": round(
+                per_chip / REFERENCE_PAIRS_PER_SEC_4GPU, 2
+            ),
+            "v5e8_projected_pairs_per_sec": round(
+                per_chip * V5E_POD_CHIPS, 2
+            ),
+            "v5e8_projected_vs_ref_4gpu_aggregate": round(
+                per_chip * V5E_POD_CHIPS / REFERENCE_PAIRS_PER_SEC_4GPU, 2
+            ),
+        },
+    }
+    if args.mode == "both":
+        clips = bench_extract(args, rng)
+        result["extra"]["extract_clips_per_sec"] = round(clips, 2)
+        result["extra"]["extract_vs_ref_4gpu_aggregate"] = round(
+            clips / REFERENCE_PAIRS_PER_SEC_4GPU, 2
         )
-    else:
-        variables = model.init(
-            jax.random.PRNGKey(0),
-            np.zeros((1, 224, 224, 3), np.float32),
-            np.zeros((1, 1, 48000), np.float32),
-            train=False,
-        )
-        fn = jax.jit(audio_embedding_fn(args.model_type, "short"))
-        audio = jax.numpy.asarray(
-            (rng.randn(args.batch_size, 1, 48000) * 0.1).astype(np.float32)
-        )
-        emb = fn(variables, audio)
-        float(emb[0, 0])
-        t0 = time.perf_counter()
-        for _ in range(args.steps):
-            emb = fn(variables, audio)
-        float(emb[0, 0])
-        dt = time.perf_counter() - t0
-        clips_per_sec = args.steps * args.batch_size / dt
-        print(
-            json.dumps(
-                {
-                    "metric": "embedding_clips_per_sec_melspec2_short",
-                    "value": round(clips_per_sec, 2),
-                    "unit": "1s-clips/sec",
-                    "vs_baseline": round(clips_per_sec / REFERENCE_PAIRS_PER_SEC, 2),
-                }
-            )
-        )
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
