@@ -273,12 +273,23 @@ def train(
     ) as train_pipe:
         for epoch in range(initial_epoch, num_epochs):
             epoch_start = time.time()
-            tr_loss, tr_acc = [], []
+            # Metric accumulation stays ON DEVICE: per-step device_get
+            # would serialize host and device every step (the reference's
+            # Keras loop pays the same sync, train.py:408-414). The tiny
+            # adds below dispatch asynchronously; the only host sync per
+            # epoch is the scalar fetch after the last step.
+            tr_loss_sum = tr_acc_sum = None
             for _ in range(train_epoch_size):
                 t0 = time.perf_counter()
                 batch = next(train_pipe)
                 state, metrics = train_step(state, batch)
-                metrics = jax.device_get(metrics)
+                step_loss = metrics["loss"] + metrics["reg_loss"]
+                if tr_loss_sum is None:
+                    tr_loss_sum, tr_acc_sum = step_loss, metrics["acc"]
+                else:
+                    tr_loss_sum = tr_loss_sum + step_loss
+                    tr_acc_sum = tr_acc_sum + metrics["acc"]
+                # Dispatch interval, not device time: steps are async.
                 batch_times.append(time.perf_counter() - t0)
                 if profile_remaining > 0:
                     profile_remaining -= 1
@@ -288,8 +299,8 @@ def train(
                             "Profiler trace written to %s",
                             os.path.join(model_dir, "profile"),
                         )
-                tr_loss.append(float(metrics["loss"] + metrics["reg_loss"]))
-                tr_acc.append(float(metrics["acc"]))
+            tr_loss_mean = float(tr_loss_sum) / train_epoch_size
+            tr_acc_mean = float(tr_acc_sum) / train_epoch_size
 
             # Validation: fresh identically-seeded stream every epoch
             # (reference train.py:198-205, 391-395).
@@ -299,24 +310,30 @@ def train(
                 batch_size=validation_batch_size,
                 random_state=random_state,
             )
-            va_loss, va_acc = [], []
+            va_loss_sum = va_acc_sum = None
             with AsyncBatchPipeline(
                 staged(val_gen), prefetch=prefetch_batches
             ) as val_pipe:
                 for _ in range(validation_epoch_size):
-                    metrics = jax.device_get(eval_step(state, next(val_pipe)))
-                    va_loss.append(float(metrics["loss"]))
-                    va_acc.append(float(metrics["acc"]))
+                    metrics = eval_step(state, next(val_pipe))
+                    if va_loss_sum is None:
+                        va_loss_sum = metrics["loss"]
+                        va_acc_sum = metrics["acc"]
+                    else:
+                        va_loss_sum = va_loss_sum + metrics["loss"]
+                        va_acc_sum = va_acc_sum + metrics["acc"]
+            va_loss_mean = float(va_loss_sum) / validation_epoch_size
+            va_acc_mean = float(va_acc_sum) / validation_epoch_size
 
             epoch_time = time.time() - epoch_start
             epoch_times.append(epoch_time)
 
             row = {
                 "epoch": epoch,
-                "acc": float(np.mean(tr_acc)),
-                "loss": float(np.mean(tr_loss)),
-                "val_acc": float(np.mean(va_acc)),
-                "val_loss": float(np.mean(va_loss)),
+                "acc": tr_acc_mean,
+                "loss": tr_loss_mean,
+                "val_acc": va_acc_mean,
+                "val_loss": va_loss_mean,
             }
             LOGGER.info(
                 "Epoch %d: loss=%.4f acc=%.4f val_loss=%.4f val_acc=%.4f "
