@@ -74,6 +74,11 @@ def parse_arguments():
                         help="Gradient-accumulation microbatches per "
                         "optimizer step (large effective batches at "
                         "microbatch activation memory)")
+    parser.add_argument("--kapre-batch-global-db", dest="db_batch_global",
+                        action="store_true",
+                        help="Reproduce kapre<=0.1.x's batch-global dB "
+                        "max reference in the audio front-end (reference "
+                        "audio_model.py:138-151); default is per-sample")
     parser.add_argument("train_data_dir", type=str,
                         help="Path to directory of training h5 batch files")
     parser.add_argument("validation_data_dir", type=str,

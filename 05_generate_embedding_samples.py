@@ -48,6 +48,11 @@ def parse_arguments():
                         help="(compat) randomized-sampling count")
     parser.add_argument("-g", "--gpus", dest="gpus", type=int, default=0,
                         help="(compat) accelerator count; the TPU mesh is used")
+    parser.add_argument("--kapre-batch-global-db", dest="db_batch_global",
+                        action="store_true",
+                        help="Reproduce kapre<=0.1.x's batch-global dB "
+                        "quirk when extracting with checkpoints trained "
+                        "under it")
     parser.add_argument("--fold", dest="fold", type=int,
                         help="Fold number to generate; all folds if unset")
     parser.add_argument("-ump", "--us8k-metadata-path",
@@ -91,8 +96,10 @@ if __name__ == "__main__":
         )
         model_type = embedding_desc_str.split("/")[-1]
         LOGGER.info("Loading embedding model (%s)...", model_type)
-        l3embedding_model = EmbeddingExtractor(model_path, model_type,
-                                               pooling_type)
+        l3embedding_model = EmbeddingExtractor(
+            model_path, model_type, pooling_type,
+            db_batch_global=args["db_batch_global"],
+        )
     else:
         dataset_output_dir = os.path.join(
             args["output_dir"], "features", dataset_name, features

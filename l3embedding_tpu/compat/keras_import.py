@@ -123,7 +123,12 @@ def _tower_targets(tower_params, tower_stats, has_input_bn):
         (k for k in tower_params if k.endswith("_embedding_layer")), None
     )
     if embed_name:
-        targets.append(conv(tower_params[embed_name]))
+        # Name anchor: the reference names this conv explicitly
+        # ('audio_embedding_layer'/'vision_embedding_layer', reference
+        # audio_model.py:57, vision_model.py:56), so sequence mapping is
+        # cross-checked against the Keras layer name at this position.
+        kind, assign = conv(tower_params[embed_name])
+        targets.append((kind, assign, "embedding_layer"))
         final_bn = "BatchNorm_1" if has_input_bn else "BatchNorm_0"
         targets.append(bn(tower_params[final_bn], tower_stats[final_bn]))
     return targets
@@ -192,11 +197,26 @@ def import_avc_weights(h5_path: str, model_type: str):
                         f"more Keras layers than targets in {tower_key} "
                         f"at {inner}"
                     )
-                want_kind, assign = targets[ti]
+                want_kind, assign, *anchor = targets[ti]
                 if want_kind != kind_i:
                     raise ValueError(
                         f"{tower_key}: expected {want_kind} at position "
                         f"{ti}, got {kind_i} ({inner})"
+                    )
+                # Name-anchored cross-check: the embedding conv must line
+                # up with the Keras layer actually named *_embedding_layer
+                # (guards against same-shaped layers slipping a position).
+                if anchor and anchor[0] not in inner:
+                    raise ValueError(
+                        f"{tower_key}: expected a layer named like "
+                        f"'*{anchor[0]}*' at position {ti}, got {inner!r} "
+                        "— sequence mapping is misaligned"
+                    )
+                if not anchor and "embedding_layer" in inner:
+                    raise ValueError(
+                        f"{tower_key}: Keras layer {inner!r} (the embedding "
+                        f"conv) arrived at position {ti}, which maps to a "
+                        "different target — sequence mapping is misaligned"
                     )
                 assign(arrays_i)
                 ti += 1

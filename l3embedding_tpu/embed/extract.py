@@ -79,16 +79,20 @@ class EmbeddingExtractor:
         pooling_type: str = "original",
         sr: int = 48000,
         fast: bool = False,
+        db_batch_global: bool = False,
     ):
-        """fast=True switches the tower to bf16 compute with the fused
-        Pallas front-end — higher throughput, feature cosine vs the f32
-        path ≥ 0.9999; leave False for the parity-gated configuration."""
+        """fast=True switches the tower to bf16 compute with the bf16 MXU
+        front-end — higher throughput, feature cosine vs the f32 path
+        ≥ 0.9999; leave False for the parity-gated configuration.
+        db_batch_global=True reproduces kapre<=0.1.x's batch-global dB
+        quirk for checkpoints trained under it (registry.ModelSpec)."""
         self.model_type = model_type
         self.pooling_type = pooling_type
         self.sr = sr
         spec = build_model(model_type)
         model = spec.module(
-            compute_dtype=jnp.bfloat16 if fast else jnp.float32
+            compute_dtype=jnp.bfloat16 if fast else jnp.float32,
+            db_batch_global=db_batch_global,
         )
         variables = model.init(
             jax.random.PRNGKey(0),
@@ -104,6 +108,7 @@ class EmbeddingExtractor:
                 model_type,
                 pooling_type,
                 compute_dtype=jnp.bfloat16 if fast else jnp.float32,
+                db_batch_global=db_batch_global,
             )
         )
 

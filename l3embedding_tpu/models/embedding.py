@@ -32,17 +32,20 @@ def _pool_flatten(feat: jnp.ndarray, pool: tuple[int, int]) -> jnp.ndarray:
 
 
 def audio_embedding_fn(model_type: str, pooling_type: str = "original",
-                       compute_dtype=jnp.float32):
+                       compute_dtype=jnp.float32, db_batch_global=False):
     """Returns fn(variables, audio_batch) → (B, dim) embeddings.
 
     `variables` is the full AVC model variables dict; the audio subtree is
     sliced out so the same checkpoint serves training and extraction.
-    compute_dtype=bfloat16 selects the fast tower (fused Pallas frontend
-    on TPU); float32 is the parity configuration.
+    compute_dtype=bfloat16 selects the fast tower (bf16 MXU frontend);
+    float32 is the parity configuration. db_batch_global reproduces the
+    kapre<=0.1.x batch-global dB quirk (see registry.ModelSpec.module).
     """
     spec = build_model(model_type)
     pool = spec.audio_embedding_pooling[pooling_type]
-    tower = spec.module(compute_dtype=compute_dtype).audio_model
+    tower = spec.module(
+        compute_dtype=compute_dtype, db_batch_global=db_batch_global
+    ).audio_model
 
     def fn(variables, audio):
         sub = {

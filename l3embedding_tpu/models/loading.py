@@ -44,12 +44,19 @@ def load_model(weights_path, model_type, src_num_gpus=0, tgt_num_gpus=None,
 
 
 def load_embedding(weights_path, model_type, embedding_type, pooling_type,
-                   src_num_gpus=0, tgt_num_gpus=None, return_io=False):
+                   src_num_gpus=0, tgt_num_gpus=None, return_io=False,
+                   db_batch_global=False):
     """→ callable(audio_or_video_batch) -> embeddings, mirroring the
-    reference's truncated-model semantics (model.py:131-181)."""
+    reference's truncated-model semantics (model.py:131-181).
+    db_batch_global reproduces the kapre<=0.1.x batch-global dB quirk for
+    checkpoints trained under it (registry.ModelSpec.module)."""
     _, variables = load_model(weights_path, model_type)
     if embedding_type == "audio":
-        fn = jax.jit(audio_embedding_fn(model_type, pooling_type))
+        fn = jax.jit(
+            audio_embedding_fn(
+                model_type, pooling_type, db_batch_global=db_batch_global
+            )
+        )
     elif embedding_type == "vision":
         fn = jax.jit(vision_embedding_fn(model_type))
     else:

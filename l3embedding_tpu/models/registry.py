@@ -44,7 +44,12 @@ class ModelSpec:
     # type (reference audio_model.py:461-478); embedding dims follow.
     audio_embedding_pooling: dict = field(default_factory=dict)
 
-    def module(self, compute_dtype=jnp.float32, fe_precision=None) -> nn.Module:
+    def module(
+        self,
+        compute_dtype=jnp.float32,
+        fe_precision=None,
+        db_batch_global=False,
+    ) -> nn.Module:
         """Instantiate the flax module.
 
         compute_dtype: float32 (parity default) or bfloat16 (the TPU
@@ -52,6 +57,10 @@ class ModelSpec:
         fe_precision: matmul precision for the DSP front-end; defaults
         to HIGHEST for float32 (bit-accurate extraction) and DEFAULT
         (bf16 MXU passes) for bfloat16.
+        db_batch_global: reproduce kapre<=0.1.x's batch-global dB max
+        reference in the audio front-end (reference
+        audio_model.py:138-151) — required for bit-faithful reproduction
+        of checkpoints trained under that quirk.
         """
         if fe_precision is None:
             fe_precision = (
@@ -59,7 +68,7 @@ class ModelSpec:
                 if compute_dtype == jnp.float32
                 else jax.lax.Precision.DEFAULT
             )
-        return self.make(compute_dtype, fe_precision)
+        return self.make(compute_dtype, fe_precision, db_batch_global)
 
 
 def _avc(vision, audio, layer_size=128, dtype=jnp.float32):
@@ -75,10 +84,11 @@ _FULL_POOL_128 = {"original": (4, 8), "short": (16, 24)}
 MODELS: dict[str, ModelSpec] = {
     "cnn_L3_orig": ModelSpec(
         name="cnn_L3_orig",
-        make=lambda dt, prec: _avc(
+        make=lambda dt, prec, dbg: _avc(
             L3VisionTower(input_bn=False, dtype=dt),
             L3AudioTower(
-                frontend_kind="linear", final_pool=(32, 24), dtype=dt, precision=prec
+                frontend_kind="linear", final_pool=(32, 24), dtype=dt,
+                precision=prec, db_batch_global=dbg,
             ),
             dtype=dt,
         ),
@@ -86,13 +96,14 @@ MODELS: dict[str, ModelSpec] = {
     ),
     "cnn_L3_kapredbinputbn": ModelSpec(
         name="cnn_L3_kapredbinputbn",
-        make=lambda dt, prec: _avc(
+        make=lambda dt, prec, dbg: _avc(
             L3VisionTower(input_bn=True, dtype=dt),
             L3AudioTower(
                 frontend_kind="linear_db",
                 final_pool=(32, 24),
                 dtype=dt,
                 precision=prec,
+                db_batch_global=dbg,
             ),
             dtype=dt,
         ),
@@ -100,7 +111,7 @@ MODELS: dict[str, ModelSpec] = {
     ),
     "cnn_L3_melspec1": ModelSpec(
         name="cnn_L3_melspec1",
-        make=lambda dt, prec: _avc(
+        make=lambda dt, prec, dbg: _avc(
             L3VisionTower(input_bn=True, dtype=dt),
             L3AudioTower(
                 frontend_kind="mel",
@@ -108,6 +119,7 @@ MODELS: dict[str, ModelSpec] = {
                 final_pool=(16, 24),
                 dtype=dt,
                 precision=prec,
+                db_batch_global=dbg,
             ),
             dtype=dt,
         ),
@@ -115,7 +127,7 @@ MODELS: dict[str, ModelSpec] = {
     ),
     "cnn_L3_melspec2": ModelSpec(
         name="cnn_L3_melspec2",
-        make=lambda dt, prec: _avc(
+        make=lambda dt, prec, dbg: _avc(
             L3VisionTower(input_bn=True, dtype=dt),
             L3AudioTower(
                 frontend_kind="mel",
@@ -123,6 +135,7 @@ MODELS: dict[str, ModelSpec] = {
                 final_pool=(32, 24),
                 dtype=dt,
                 precision=prec,
+                db_batch_global=dbg,
             ),
             dtype=dt,
         ),
@@ -130,8 +143,10 @@ MODELS: dict[str, ModelSpec] = {
     ),
     "tiny_L3": ModelSpec(
         name="tiny_L3",
-        make=lambda dt, prec: _avc(
-            TinyL3VisionTower(), TinyL3AudioTower(), layer_size=64
+        make=lambda dt, prec, dbg: _avc(
+            TinyL3VisionTower(),
+            TinyL3AudioTower(db_batch_global=dbg),
+            layer_size=64,
         ),
         # Tiny embedding = the flattened final feature map itself.
         audio_embedding_pooling={"original": (1, 1), "short": (1, 1)},

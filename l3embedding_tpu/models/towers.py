@@ -95,6 +95,12 @@ class L3AudioTower(nn.Module):
     final_pool: Sequence[int] = (32, 24)
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
     dtype: Any = jnp.float32
+    # kapre<=0.1.x referenced dB against the max of the whole *batch*
+    # tensor (reference audio_model.py:138-151, 245-260), making features
+    # batch-dependent. Checkpoints trained under that quirk need
+    # db_batch_global=True for bit-faithful reproduction; the default is
+    # the sane per-sample reference.
+    db_batch_global: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -117,7 +123,12 @@ class L3AudioTower(nn.Module):
         # faster end-to-end once the gather framing was removed).
         fast = self.dtype == jnp.bfloat16
         impl = os.environ.get("L3_TRAIN_FRONTEND", "xla")
-        use_fused = fast and impl == "fused" and pallas_available()
+        # The fused Pallas kernel implements per-sample dB only.
+        use_fused = (
+            fast and impl == "fused" and pallas_available()
+            and not self.db_batch_global
+        )
+        db_ps = not self.db_batch_global
 
         if self.frontend_kind == "linear":
             cfg = frontend.SpectrogramConfig()
@@ -129,7 +140,7 @@ class L3AudioTower(nn.Module):
                 y = frontend.spectrogram(x, cfg, precision=self.precision)
             y = frontend.l3_log_norm(y)
         elif self.frontend_kind == "linear_db":
-            cfg = frontend.SpectrogramConfig(decibel=True)
+            cfg = frontend.SpectrogramConfig(decibel=True, db_per_sample=db_ps)
             if use_fused:
                 y = spectrogram_fused(x, cfg)
             elif fast:
@@ -143,7 +154,7 @@ class L3AudioTower(nn.Module):
             # Fast path: bf16 MXU formulation when training in bf16; the
             # f32 path keeps the XLA HIGHEST-precision formulation — that
             # is the extraction/parity configuration.
-            cfg = frontend.MelConfig(n_mels=self.n_mels)
+            cfg = frontend.MelConfig(n_mels=self.n_mels, db_per_sample=db_ps)
             if use_fused:
                 y = melspectrogram_fused(x, cfg)
             elif fast:
@@ -243,13 +254,15 @@ class TinyL3AudioTower(nn.Module):
     (reference audio_model.py:490-541)."""
 
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    db_batch_global: bool = False  # see L3AudioTower.db_batch_global
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         if x.ndim == 3:
             x = x[:, 0, :]
         cfg = frontend.SpectrogramConfig(
-            n_dft=512, hop=240, n_win=480, padding="valid", power=1.0, decibel=True
+            n_dft=512, hop=240, n_win=480, padding="valid", power=1.0,
+            decibel=True, db_per_sample=not self.db_batch_global,
         )
         y = frontend.spectrogram(x, cfg, precision=self.precision)
         for i in range(3):

@@ -44,6 +44,9 @@ class SpectrogramConfig:
     power: float = 1.0
     n_win: int | None = None
     decibel: bool = False
+    # per-sample max reference (the default); False = kapre<=0.1.x
+    # batch-global quirk (reference audio_model.py:138-151).
+    db_per_sample: bool = True
 
     @property
     def n_freq(self) -> int:
@@ -71,6 +74,8 @@ class MelConfig:
     decibel: bool = True
     fmin: float = 0.0
     fmax: float | None = None
+    # See SpectrogramConfig.db_per_sample.
+    db_per_sample: bool = True
 
     def n_frames(self, n_samples: int) -> int:
         return dsp_ref.num_frames(n_samples, self.n_dft, self.hop, self.padding)
@@ -182,7 +187,7 @@ def melspectrogram_bf16(x: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.nda
         m = jnp.sqrt(jnp.maximum(m, 0.0)) ** cfg.power_melgram
     m = jnp.transpose(m, (0, 2, 1))[..., None]
     if cfg.decibel:
-        m = amplitude_to_db(m)
+        m = amplitude_to_db(m, per_sample=cfg.db_per_sample)
     return m
 
 
@@ -200,7 +205,7 @@ def spectrogram_bf16(
     s = p ** (cfg.power / 2.0) if cfg.power != 2.0 else p
     s = jnp.transpose(s, (0, 2, 1))[..., None]
     if cfg.decibel:
-        s = amplitude_to_db(s)
+        s = amplitude_to_db(s, per_sample=cfg.db_per_sample)
     return s
 
 
@@ -225,10 +230,20 @@ def amplitude_to_db(
     amin: float = 1e-10,
     dynamic_range: float = 80.0,
     sample_axes: tuple[int, ...] = (1, 2),
+    per_sample: bool = True,
 ) -> jnp.ndarray:
-    """Per-sample max-referenced dB scaling (see dsp_ref.amplitude_to_db)."""
+    """Max-referenced dB scaling (see dsp_ref.amplitude_to_db).
+
+    per_sample=False reproduces kapre<=0.1.x's batch-global max reference
+    (reference audio_model.py:138-151): features become batch-dependent,
+    but checkpoints trained under the quirk need it for bit-faithful
+    reproduction on device.
+    """
     log_spec = 10.0 * jnp.log10(jnp.maximum(x, amin))
-    ref = jnp.max(log_spec, axis=sample_axes, keepdims=True)
+    if per_sample:
+        ref = jnp.max(log_spec, axis=sample_axes, keepdims=True)
+    else:
+        ref = jnp.max(log_spec)
     return jnp.maximum(log_spec - ref, -dynamic_range)
 
 
@@ -247,7 +262,7 @@ def spectrogram(
     s = p ** (cfg.power / 2.0) if cfg.power != 2.0 else p
     s = jnp.transpose(s, (0, 2, 1))[..., None]
     if cfg.decibel:
-        s = amplitude_to_db(s)
+        s = amplitude_to_db(s, per_sample=cfg.db_per_sample)
     return s
 
 
@@ -266,5 +281,5 @@ def melspectrogram(
         m = m ** (cfg.power_melgram / 2.0)
     m = jnp.transpose(m, (0, 2, 1))[..., None]
     if cfg.decibel:
-        m = amplitude_to_db(m)
+        m = amplitude_to_db(m, per_sample=cfg.db_per_sample)
     return m

@@ -107,6 +107,7 @@ def train(
     profile_steps=0,
     compute_dtype="float32",
     accum_steps=1,
+    db_batch_global=False,
 ):
     if not LOGGER.handlers:
         init_console_logger(LOGGER, verbose=verbose)
@@ -152,7 +153,8 @@ def train(
     import jax.numpy as jnp
 
     model = spec.module(
-        compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+        compute_dtype=jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32,
+        db_batch_global=db_batch_global,
     )
 
     if continue_model_dir:

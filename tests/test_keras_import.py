@@ -190,3 +190,34 @@ def test_import_multigpu_wrapped(tmp_path):
         variables["params"]["audio_model"]["audio_embedding_layer"]["kernel"],
         truth["audio"][-2][1][0],
     )
+
+
+def test_import_misaligned_embedding_layer_raises(tmp_path):
+    """The name anchor must reject an h5 whose layer sequence is shifted:
+    a same-shaped generic conv arriving at the embedding-conv position
+    (and the real embedding layer one slot later) previously imported
+    silently — two swapped 512x512 convs pass every shape check."""
+    rng = np.random.RandomState(11)
+    path = str(tmp_path / "model_latest.h5")
+    synthesize_keras_h5(path, rng)
+
+    # Swap the last plain conv and the embedding conv in the vision
+    # tower's weight_names order (arrays stay attached to their names, so
+    # shapes still line up pairwise: both are (3,3,512,512)).
+    with h5py.File(path, "r+") as f:
+        g = f["vision_model"]
+        wnames = [
+            w.decode() if isinstance(w, bytes) else w
+            for w in g.attrs["weight_names"]
+        ]
+        emb = [i for i, w in enumerate(wnames)
+               if w.startswith("vision_embedding_layer/")]
+        plain = [i for i, w in enumerate(wnames)
+                 if w.startswith("conv2d_7/")]
+        assert len(emb) == 2 and len(plain) == 2
+        for a, b in zip(plain, emb):
+            wnames[a], wnames[b] = wnames[b], wnames[a]
+        g.attrs["weight_names"] = [w.encode() for w in wnames]
+
+    with pytest.raises(ValueError, match="misaligned"):
+        import_avc_weights(path, "cnn_L3_melspec2")
