@@ -138,3 +138,58 @@ def test_02_generate_samples_functional(tmp_path):
     with h5py.File(files[0], "r") as f:
         assert f["audio"].shape == (4, 1, 48000)
         assert f["video"].shape == (4, 224, 224, 3)
+
+
+def test_sig_tests_grouped_report(tmp_path):
+    """Reference-depth reporting: per-variable grouped Wilcoxon tests,
+    Holm-adjusted p-values, best-score table, grouped boxplots
+    (reference generate_plots_and_sig_tests.py:274-466)."""
+    rng = np.random.RandomState(1)
+    layouts = []
+    for dataset, n_folds in (("us8k", 4), ("esc50", 5)):
+        for subset in ("music", "environmental"):
+            for rep, base in (("melspec2", 0.80), ("melspec1", 0.70)):
+                layouts.append((dataset, subset, rep, base, n_folds))
+    for dataset, subset, rep, base, n_folds in layouts:
+        rep_id = (f"{dataset}/l3/original/{subset}_train/"
+                  f"cnn_L3_{rep}/20240101/framewise/overlap/no-min-max/mlp")
+        for fold in range(1, n_folds + 1):
+            d = tmp_path / "classifier" / rep_id / f"fold{fold}" / "t0"
+            d.mkdir(parents=True)
+            class_acc = (base + rng.rand(10) * 0.05).tolist()
+            with open(d / "results.pkl", "wb") as f:
+                pickle.dump(
+                    {"test": {
+                        "accuracy": float(np.mean(class_acc)),
+                        "average_class_accuracy": float(np.mean(class_acc)),
+                        "class_accuracy": class_acc,
+                    }},
+                    f,
+                )
+    out_dir = tmp_path / "report"
+    out = run_cli("generate_plots_and_sig_tests.py", str(tmp_path),
+                  str(out_dir))
+    # Reference-style 'better than' lines for the representation grouping.
+    assert "Input Representation" in out.stdout
+    assert "better than" in out.stdout
+    assert "best" in out.stdout  # best-average-score table
+
+    with open(out_dir / "sig_tests_grouped.json") as f:
+        grouped = json.load(f)
+    groupings = {t["grouping"] for t in grouped}
+    assert {"embedding_model_type", "audioset_subset",
+            "full_identity"} <= groupings
+    assert all("p_holm" in t for t in grouped)
+    # M256 dominates M128 by construction → significant under Holm too.
+    rep_tests = [t for t in grouped
+                 if t["grouping"] == "embedding_model_type"]
+    assert any(t["significant_holm"] for t in rep_tests)
+
+    with open(out_dir / "best_scores.json") as f:
+        best = json.load(f)
+    assert best["us8k"]["best"].endswith("4_mel2")
+
+    for fig in ("boxplot_by_embedding_model_type.png",
+                "boxplot_by_audioset_subset.png",
+                "us8k_test_acc.png", "esc50_test_acc.png"):
+        assert (out_dir / fig).exists(), fig
