@@ -74,6 +74,13 @@ def parse_arguments():
                         help="Gradient-accumulation microbatches per "
                         "optimizer step (large effective batches at "
                         "microbatch activation memory)")
+    parser.add_argument("--bn-mode", dest="bn_mode", type=str,
+                        default="sync", choices=["sync", "per_replica"],
+                        help="BatchNorm statistics scope: 'sync' = global "
+                        "batch (TPU-native default); 'per_replica' "
+                        "reproduces the reference's per-GPU-slice BN "
+                        "(reference training_utils.py:121-170) for "
+                        "training-curve comparison")
     parser.add_argument("--kapre-batch-global-db", dest="db_batch_global",
                         action="store_true",
                         help="Reproduce kapre<=0.1.x's batch-global dB "

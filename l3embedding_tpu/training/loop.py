@@ -108,6 +108,7 @@ def train(
     compute_dtype="float32",
     accum_steps=1,
     db_batch_global=False,
+    bn_mode="sync",
 ):
     if not LOGGER.handlers:
         init_console_logger(LOGGER, verbose=verbose)
@@ -227,7 +228,9 @@ def train(
     if mesh is not None:
         state = replicate(state, mesh)
 
-    train_step = make_train_step(model, accum_steps=accum_steps)
+    train_step = make_train_step(
+        model, accum_steps=accum_steps, bn_mode=bn_mode, mesh=mesh
+    )
     eval_step = make_eval_step(model)
 
     if gsheet_id:

@@ -49,7 +49,13 @@ def l2_penalty(params):
     return WEIGHT_DECAY * total
 
 
-def make_train_step(model, donate: bool = True, accum_steps: int = 1):
+def make_train_step(
+    model,
+    donate: bool = True,
+    accum_steps: int = 1,
+    bn_mode: str = "sync",
+    mesh=None,
+):
     """Returns jitted fn(state, batch) -> (state, metrics).
 
     batch: dict with 'video' (B,224,224,3 uint8|f32), 'audio'
@@ -62,7 +68,28 @@ def make_train_step(model, donate: bool = True, accum_steps: int = 1):
     batch ceiling; docs/ROUND_NOTES.md). BatchNorm statistics update
     sequentially per microbatch (momentum applied accum_steps times per
     step), matching what sequential small batches would do.
+
+    bn_mode='per_replica' (requires `mesh`) reproduces the reference's
+    BN semantics for apples-to-apples training-curve comparison: each
+    replica of the in-graph-replicated Keras model computed BN batch
+    statistics on its own slice of the batch (reference
+    training_utils.py:121-170). The step runs under shard_map so BN sees
+    only the local shard; gradients/metrics are pmean'd across replicas,
+    and the (per-replica) running-stat updates are averaged into the
+    single stored pytree — the deterministic stand-in for Keras's
+    racy shared-variable assignment. Default 'sync' computes BN over the
+    global batch (XLA cross-replica reduction), the TPU-native choice.
     """
+    if bn_mode == "per_replica":
+        if accum_steps > 1:
+            raise NotImplementedError(
+                "per_replica BN with gradient accumulation"
+            )
+        if mesh is None:
+            raise ValueError("bn_mode='per_replica' requires a mesh")
+        return _make_per_replica_train_step(model, donate, mesh)
+    if bn_mode != "sync":
+        raise ValueError(f"unknown bn_mode {bn_mode!r}")
     if accum_steps > 1:
         return _make_accum_train_step(model, donate, accum_steps)
 
@@ -90,6 +117,62 @@ def make_train_step(model, donate: bool = True, accum_steps: int = 1):
             (jnp.argmax(logits, -1) == jnp.argmax(labels, -1)).astype(jnp.float32)
         )
         metrics = {"loss": ce, "acc": acc, "reg_loss": loss - ce}
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def _make_per_replica_train_step(model, donate: bool, mesh):
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if "model" in mesh.shape and mesh.shape["model"] != 1:
+        raise ValueError("per_replica BN supports data-parallel meshes only")
+
+    def shard_fn(params, batch_stats, video, audio, label):
+        video, audio = preprocess_batch(video, audio)
+        labels = label.astype(jnp.float32)
+
+        def loss_fn(p):
+            logits, updates = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                video,
+                audio,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            ce = optax.softmax_cross_entropy(logits, labels).mean()
+            return ce + l2_penalty(p), (updates["batch_stats"], logits, ce)
+
+        (loss, (new_bs, logits, ce)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        acc = jnp.mean(
+            (jnp.argmax(logits, -1) == jnp.argmax(labels, -1)).astype(
+                jnp.float32
+            )
+        )
+        pmean = lambda t: jax.tree.map(  # noqa: E731
+            lambda x: jax.lax.pmean(x, "data"), t
+        )
+        metrics = pmean({"loss": ce, "acc": acc, "reg_loss": loss - ce})
+        return pmean(grads), pmean(new_bs), metrics
+
+    def train_step(state, batch):
+        grads, new_bs, metrics = shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P("data")),
+            out_specs=(P(), P(), P()),
+            check_rep=False,
+        )(
+            state.params,
+            state.batch_stats,
+            batch["video"],
+            batch["audio"],
+            batch["label"],
+        )
+        new_state = state.apply_gradients(grads, new_bs)
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())

@@ -77,22 +77,118 @@ class LocalSheet:
             self._write(data)
 
 
+class GoogleSheet:
+    """Real Sheets-API backend exposing the same worksheet trio as
+    LocalSheet (get_rows / append / update_cells), so every caller above
+    it is backend-agnostic. Requires googleapiclient + credentials
+    (reference gsheets.py:112-190 request shapes)."""
+
+    def __init__(self, service, spreadsheet_id: str):
+        self._svc = service
+        self._id = spreadsheet_id
+
+    def get_rows(self, sheet_name: str) -> list:
+        resp = (
+            self._svc.spreadsheets()
+            .values()
+            .get(spreadsheetId=self._id, range=f"{sheet_name}!A:AZ")
+            .execute()
+        )
+        return resp.get("values", [])
+
+    def append(self, sheet_name: str, row: list) -> None:
+        (
+            self._svc.spreadsheets()
+            .values()
+            .append(
+                spreadsheetId=self._id,
+                range=f"{sheet_name}!A1:A1",
+                valueInputOption="USER_ENTERED",
+                insertDataOption="INSERT_ROWS",
+                body={"values": [row]},
+            )
+            .execute()
+        )
+
+    def update_cells(self, sheet_name: str, row_idx: int, start_col: int,
+                     values: list) -> None:
+        start = _col_idx_to_letter(start_col)
+        end = _col_idx_to_letter(start_col + len(values) - 1)
+        rng = f"{sheet_name}!{start}{row_idx + 1}:{end}{row_idx + 1}"
+        (
+            self._svc.spreadsheets()
+            .values()
+            .update(
+                spreadsheetId=self._id,
+                range=rng,
+                valueInputOption="USER_ENTERED",
+                body={"values": [values]},
+            )
+            .execute()
+        )
+
+
 def get_credentials(google_dev_app_name, spreadsheet_path=None):
-    """Returns a credentials token for `build_service`. Without Google
-    client libraries this is a no-op marker; the reference's OAuth2 flow
-    (gsheets.py:81-109) applies only to the real-Sheets backend."""
-    return {"app_name": google_dev_app_name, "path": spreadsheet_path}
+    """Returns a credentials token for `build_service`.
+
+    With google-auth importable and GOOGLE_APPLICATION_CREDENTIALS (or an
+    explicit service-account file via L3_GOOGLE_CREDENTIALS) set, returns
+    real Sheets-scoped credentials — the modern equivalent of the
+    reference's OAuth2 flow (gsheets.py:81-109). Otherwise a no-op marker
+    that routes build_service to the LocalSheet backend."""
+    marker = {"app_name": google_dev_app_name, "path": spreadsheet_path}
+    cred_file = os.environ.get("L3_GOOGLE_CREDENTIALS") or os.environ.get(
+        "GOOGLE_APPLICATION_CREDENTIALS"
+    )
+    if not cred_file or not os.path.exists(cred_file):
+        return marker
+    try:  # pragma: no cover - needs google libs + network
+        from google.oauth2 import service_account
+
+        marker["google_credentials"] = (
+            service_account.Credentials.from_service_account_file(
+                cred_file,
+                scopes=["https://www.googleapis.com/auth/spreadsheets"],
+            )
+        )
+    except ImportError:
+        pass
+    return marker
 
 
 def build_service(credentials, spreadsheet_id):
-    """Service factory: a LocalSheet stored next to the experiment data.
-    `spreadsheet_id` doubles as the local path when it looks like one."""
+    """Service factory. Real credentials + googleapiclient → GoogleSheet
+    (the reference's live backend, gsheets.py:104-109); otherwise a
+    LocalSheet stored next to the experiment data (`spreadsheet_id`
+    doubles as the local path when it looks like one)."""
+    if credentials.get("google_credentials") is not None:
+        try:  # pragma: no cover - needs google libs + network
+            from googleapiclient import discovery
+
+            svc = discovery.build(
+                "sheets",
+                "v4",
+                credentials=credentials["google_credentials"],
+                cache_discovery=False,
+            )
+            return GoogleSheet(svc, spreadsheet_id)
+        except ImportError:
+            pass
     path = credentials.get("path") or (
         spreadsheet_id
         if str(spreadsheet_id).endswith(".json")
         else os.path.join(".", f"sheet_{spreadsheet_id}.json")
     )
     return LocalSheet(path)
+
+
+def _col_idx_to_letter(idx: int) -> str:
+    letters = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        letters = chr(65 + rem) + letters
+    return letters
 
 
 def _col_letter_to_idx(letter: str) -> int:
@@ -116,8 +212,9 @@ def request_with_retry(request_fn, num_attempts=50, backoff=0.1):
 
 def get_row(service, spreadsheet_id, param_dict, sheet_name):
     """Row index whose model_dir matches, or None
-    (reference gsheets.py:158-175)."""
-    if not isinstance(service, LocalSheet):
+    (reference gsheets.py:158-175). Works on any backend exposing
+    get_rows (LocalSheet, GoogleSheet, test doubles)."""
+    if not hasattr(service, "get_rows"):
         raise TypeError("unsupported service object")
     fields = _SHEET_FIELDS[sheet_name]
     key_idx = fields.index("model_dir")

@@ -168,3 +168,55 @@ def test_tensor_parallel_matches_dp(setup):
     # Sharded params survived the update with correct values vs host DP.
     _, m_tp2 = step(new_tp, sharded)
     assert np.isfinite(float(m_tp2["loss"]))
+
+
+def test_per_replica_bn_mode(setup):
+    """bn_mode='per_replica' (reference training_utils.py:121-170
+    semantics): BN statistics come from each replica's batch slice. On a
+    1-replica mesh it must equal sync-BN exactly; on 8 replicas the
+    running stats must differ from sync-BN (local vs global batch
+    statistics) while gradients stay pmean'd and metrics finite."""
+    model, state, batch = setup
+
+    mesh8 = create_mesh(jax.devices()[:8], model_axis=1)
+    state8 = replicate(state, mesh8)
+    sharded8 = shard_batch(batch, mesh8)
+
+    sync_step = make_train_step(model, donate=False)
+    pr_step = make_train_step(
+        model, donate=False, bn_mode="per_replica", mesh=mesh8
+    )
+
+    s_sync, m_sync = sync_step(state8, sharded8)
+    s_pr, m_pr = pr_step(state8, sharded8)
+
+    assert np.isfinite(float(m_pr["loss"])) and np.isfinite(
+        float(m_pr["acc"])
+    )
+    # Same data, same params: the loss (pre-update forward) differs only
+    # through BN batch statistics — local vs global. They must disagree.
+    bn_sync = jax.device_get(s_sync.batch_stats)
+    bn_pr = jax.device_get(s_pr.batch_stats)
+    diffs = [
+        np.max(np.abs(a - b))
+        for a, b in zip(jax.tree.leaves(bn_sync), jax.tree.leaves(bn_pr))
+    ]
+    assert max(diffs) > 1e-6, "per-replica BN stats identical to sync BN"
+
+    # Single-replica mesh: per_replica degenerates to sync exactly.
+    mesh1 = create_mesh(jax.devices()[:1], model_axis=1)
+    state1 = replicate(state, mesh1)
+    sharded1 = shard_batch(batch, mesh1)
+    pr1 = make_train_step(
+        model, donate=False, bn_mode="per_replica", mesh=mesh1
+    )
+    s_a, m_a = make_train_step(model, donate=False)(state1, sharded1)
+    s_b, m_b = pr1(state1, sharded1)
+    np.testing.assert_allclose(
+        float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(s_a.params)),
+        jax.tree.leaves(jax.device_get(s_b.params)),
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)

@@ -55,3 +55,91 @@ def test_gsheets_local_surface(tmp_path):
     update_experiment(service, "any-id", params, "R", "Z", [6] * 9,
                       "embedding")
     assert len(service.get_rows("embedding")) == 1
+
+
+def test_gsheets_google_backend_request_shapes():
+    """GoogleSheet drives the Sheets v4 API with the reference's request
+    shapes (reference gsheets.py:112-190): values().append for new rows,
+    values().update with an A1 range for experiment updates. Exercised
+    against an in-memory double of googleapiclient's chained interface."""
+    from l3embedding_tpu.utils.gsheets import (
+        GoogleSheet,
+        append_row,
+        get_row,
+        update_experiment,
+    )
+
+    calls = []
+
+    class _Req:
+        def __init__(self, kind, kwargs, store):
+            self._kind, self._kw, self._store = kind, kwargs, store
+
+        def execute(self):
+            calls.append((self._kind, self._kw))
+            if self._kind == "get":
+                return {"values": self._store}
+            if self._kind == "append":
+                self._store.append(self._kw["body"]["values"][0])
+            if self._kind == "update":
+                # range like 'classifier!V3:X3' → row 3 (1-based)
+                rng = self._kw["range"].split("!")[1]
+                row = int("".join(c for c in rng.split(":")[0]
+                                  if c.isdigit())) - 1
+                start_letter = "".join(
+                    c for c in rng.split(":")[0] if c.isalpha()
+                )
+                idx = 0
+                for ch in start_letter:
+                    idx = idx * 26 + ord(ch) - 64
+                idx -= 1
+                vals = self._kw["body"]["values"][0]
+                r = self._store[row]
+                while len(r) < idx + len(vals):
+                    r.append("")
+                r[idx : idx + len(vals)] = vals
+            return {}
+
+    class _Values:
+        def __init__(self, store):
+            self._store = store
+
+        def get(self, **kw):
+            return _Req("get", kw, self._store)
+
+        def append(self, **kw):
+            return _Req("append", kw, self._store)
+
+        def update(self, **kw):
+            return _Req("update", kw, self._store)
+
+    class _Spreadsheets:
+        def __init__(self, store):
+            self._v = _Values(store)
+
+        def values(self):
+            return self._v
+
+    class _Service:
+        def __init__(self, store):
+            self._s = _Spreadsheets(store)
+
+        def spreadsheets(self):
+            return self._s
+
+    store = []
+    sheet = GoogleSheet(_Service(store), "sheet-id-1")
+    params = {"model_dir": "/x/run1", "username": "t"}
+
+    append_row(sheet, "sheet-id-1", params, "classifier")
+    assert get_row(sheet, "sheet-id-1", params, "classifier") == 0
+    update_experiment(sheet, "sheet-id-1", params, "B", "C",
+                      ["0.9", "0.8"], "classifier")
+    assert store[0][1:3] == ["0.9", "0.8"]
+
+    kinds = [k for k, _ in calls]
+    assert "append" in kinds and "update" in kinds
+    upd = next(kw for k, kw in calls if k == "update")
+    assert upd["range"] == "classifier!B1:C1"
+    assert upd["spreadsheetId"] == "sheet-id-1"
+    assert upd["valueInputOption"] == "USER_ENTERED"
