@@ -19,12 +19,25 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # Parameters worth sharding: (path-suffix match, PartitionSpec).
-# Conv kernels are HWIO — shard O (output channels); dense kernels are
-# (in, out) — shard the input dim on merge_dense (its input is the
-# concat of channel-sharded tower outputs) and the output dim elsewhere.
+# Conv kernels are HWIO. The block-4 convs (ConvBNRelu_6, 256→512 in both
+# towers) shard their *output* channels — along with their bias and BN
+# vectors so the whole channel-sharded layer group stays local. The
+# embedding convs then shard their *input* dim (consuming the sharded
+# activations; XLA inserts the psum over the contraction). merge_dense
+# kernels shard the input dim — partial products reduce into the 128-d
+# head. Tiny towers' 'embedding_conv' gets the output-shard rule so the
+# model axis carries real shardings in the cheap dry-run config too.
 _RULES = (
-    (("audio_embedding_layer", "kernel"), P(None, None, None, "model")),
-    (("vision_embedding_layer", "kernel"), P(None, None, None, "model")),
+    (("ConvBNRelu_6", "Conv_0", "kernel"), P(None, None, None, "model")),
+    (("ConvBNRelu_6", "Conv_0", "bias"), P("model")),
+    (("ConvBNRelu_6", "BatchNorm_0", "scale"), P("model")),
+    (("ConvBNRelu_6", "BatchNorm_0", "bias"), P("model")),
+    (("ConvBNRelu_6", "BatchNorm_0", "mean"), P("model")),
+    (("ConvBNRelu_6", "BatchNorm_0", "var"), P("model")),
+    (("audio_embedding_layer", "kernel"), P(None, None, "model", None)),
+    (("vision_embedding_layer", "kernel"), P(None, None, "model", None)),
+    (("embedding_conv", "kernel"), P(None, None, None, "model")),
+    (("embedding_conv", "bias"), P("model")),
     (("merge_dense", "kernel"), P("model", None)),
 )
 
@@ -54,6 +67,6 @@ def tp_shard_state(state, mesh: Mesh):
     return state.replace(
         step=jax.device_put(state.step, replicated),
         params=place(state.params),
-        batch_stats=jax.device_put(state.batch_stats, replicated),
+        batch_stats=place(state.batch_stats),
         opt_state=place(state.opt_state),
     )

@@ -220,3 +220,33 @@ def test_per_replica_bn_mode(setup):
         jax.tree.leaves(jax.device_get(s_b.params)),
     ):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+
+
+def test_tp_rules_fire_on_tiny_and_full():
+    """The 'model' axis must carry real shardings in both the dry-run
+    config (tiny_L3) and the production models: count parameters whose
+    placement is not fully replicated after tp_shard_state."""
+    from l3embedding_tpu.parallel.tp import tp_shard_state
+
+    mesh = create_mesh(jax.devices()[:8], model_axis=2)
+
+    def count_sharded(model_type):
+        spec = build_model(model_type)
+        model = spec.module()
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), spec.video_input_shape,
+            spec.audio_input_shape, learning_rate=1e-3,
+        )
+        state = tp_shard_state(state, mesh)
+        n = 0
+        for leaf in jax.tree.leaves(state.params):
+            sh = leaf.sharding
+            if any(s is not None for s in sh.spec):
+                n += 1
+        return n
+
+    # tiny: embedding_conv kernel+bias per tower + merge_dense = 5.
+    assert count_sharded("tiny_L3") >= 5
+    # full: block-4 conv group (kernel+bias+BN scale/bias) x2 towers +
+    # embedding convs x2 + merge_dense = 11.
+    assert count_sharded("cnn_L3_melspec2") >= 11

@@ -130,3 +130,50 @@ def test_vggish_feature_path_through_05_stack(tmp_path):
     assert feats.ndim == 2
     assert feats.shape[1] == 128
     assert np.all(np.isfinite(feats))
+
+
+def test_export_vggish_npz_roundtrip(tmp_path):
+    """tools/export_vggish_npz.export validates the variable set against
+    the loader mapping and writes an npz load_vggish_weights accepts;
+    a dict standing in for the TF reader keeps the test TF-free."""
+    import os
+    import sys
+
+    import jax
+    import numpy as np
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import export_vggish_npz
+
+    from l3embedding_tpu.models.vggish import (
+        _SLIM_NAME_MAP,
+        VGGish,
+        load_vggish_weights,
+    )
+
+    rng = np.random.RandomState(0)
+    model = VGGish()
+    params = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 96, 64, 1), np.float32)
+    )["params"]
+    shapes = {
+        ckpt_name: np.asarray(params[mod][leaf]).shape
+        for ckpt_name, (mod, leaf) in _SLIM_NAME_MAP.items()
+    }
+    tensors = {k: rng.randn(*s).astype(np.float32) for k, s in shapes.items()}
+    tensors["global_step"] = np.asarray(7)  # extra vars must be dropped
+
+    out = str(tmp_path / "vggish_weights.npz")
+    keys = export_vggish_npz.export(tensors, out)
+    assert set(keys) == set(_SLIM_NAME_MAP)
+
+    loaded = load_vggish_weights(out, params)
+    np.testing.assert_array_equal(
+        loaded["conv1"]["kernel"], tensors["vggish/conv1/weights"]
+    )
+
+    # Missing variables must fail the export, not the later load.
+    bad = dict(tensors)
+    bad.pop("vggish/fc2/weights")
+    with pytest.raises(SystemExit, match="missing"):
+        export_vggish_npz.export(bad, str(tmp_path / "bad.npz"))
