@@ -131,3 +131,41 @@ class EmbeddingExtractor:
         from ..data.audio_io import load_audio
 
         return self.embed_audio(load_audio(path, self.sr), hop_size=hop_size)
+
+
+def load_exported_embedding(prefix: str) -> EmbeddingExtractor:
+    """Rebuild a resident extractor from tools/export_embedding_model.py
+    output (<prefix>.ckpt + <prefix>.json) — the deployment artifact
+    equivalent of the reference's extracted OpenL3 embedding models
+    (reference notebooks/extract_embedding_models_from_avc_models.ipynb).
+    """
+    import json
+
+    with open(prefix + ".json") as f:
+        desc = json.load(f)
+    if desc.get("export") != "audio":
+        raise ValueError(
+            f"exported artifact is {desc.get('export')!r}; the resident "
+            "extractor serves audio embeddings — use "
+            "models.vision_embedding_fn with the .ckpt for vision"
+        )
+    extractor = EmbeddingExtractor(
+        None,
+        desc["model_type"],
+        desc["pooling_type"],
+        db_batch_global=bool(desc.get("db_batch_global", False)),
+    )
+    host_vars = jax.device_get(extractor.variables)
+    template = {
+        "params": {"audio_model": host_vars["params"]["audio_model"]},
+        "batch_stats": {
+            "audio_model": host_vars["batch_stats"]["audio_model"]
+        },
+    }
+    restored = checkpoints.load_variables(prefix + ".ckpt", template)
+    host_vars["params"]["audio_model"] = restored["params"]["audio_model"]
+    host_vars["batch_stats"]["audio_model"] = restored["batch_stats"][
+        "audio_model"
+    ]
+    extractor.variables = jax.device_put(host_vars)
+    return extractor

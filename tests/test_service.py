@@ -1,6 +1,7 @@
 """Micro-batching embedding service: concurrent requests coalesce into
 device batches and results scatter back correctly."""
 
+import os
 import threading
 
 import numpy as np
@@ -48,3 +49,71 @@ def test_concurrent_requests_batch_and_scatter(service):
         assert r.shape == (w.shape[0], 350)
         direct = service.extractor.embed_windows(w)
         np.testing.assert_allclose(r, direct, rtol=1e-5, atol=1e-6)
+
+
+def test_export_embedding_model_roundtrip(tmp_path, monkeypatch):
+    """tools/export_embedding_model.py slices the audio tower out of an
+    AVC checkpoint; load_exported_embedding must reproduce the original
+    extractor's embeddings exactly (reference
+    notebooks/extract_embedding_models_from_avc_models.ipynb role)."""
+    import subprocess
+    import sys
+
+    import jax
+    import numpy as np
+
+    from l3embedding_tpu.embed.extract import (
+        EmbeddingExtractor,
+        load_exported_embedding,
+    )
+    from l3embedding_tpu.models import build_model
+    from l3embedding_tpu.training import checkpoints
+
+    spec = build_model("tiny_L3")
+    model = spec.module()
+    rng = np.random.RandomState(0)
+    variables = model.init(
+        jax.random.PRNGKey(3),
+        np.zeros((1, 224, 224, 3), np.float32),
+        np.zeros((1, 1, 48000), np.float32),
+        train=False,
+    )
+    ckpt = str(tmp_path / "model_latest.ckpt")
+    checkpoints.save_variables(
+        ckpt, variables["params"], variables["batch_stats"]
+    )
+
+    prefix = str(tmp_path / "exported_audio")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools",
+                                      "export_embedding_model.py"),
+         ckpt, "--model-type", "tiny_L3", "--embedding", "audio",
+         "--pooling", "short", "--output", prefix],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert os.path.exists(prefix + ".ckpt")
+    assert os.path.exists(prefix + ".json")
+
+    windows = (rng.randn(3, 48000) * 0.1).astype(np.float32)
+    direct = EmbeddingExtractor(ckpt, "tiny_L3", "short")
+    exported = load_exported_embedding(prefix)
+    np.testing.assert_array_equal(
+        direct.embed_windows(windows), exported.embed_windows(windows)
+    )
+
+    # Front-end export: descriptor only, no weights.
+    fe_prefix = str(tmp_path / "exported_frontend")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools",
+                                      "export_embedding_model.py"),
+         ckpt, "--model-type", "tiny_L3", "--embedding", "frontend",
+         "--output", fe_prefix],
+        capture_output=True, text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert os.path.exists(fe_prefix + ".json")
+    assert not os.path.exists(fe_prefix + ".ckpt")
