@@ -53,6 +53,9 @@ def parse_arguments():
                         help="Reproduce kapre<=0.1.x's batch-global dB "
                         "quirk when extracting with checkpoints trained "
                         "under it")
+    parser.add_argument("--fast", dest="fast", action="store_true",
+                        help="bf16 extraction tower (higher throughput; "
+                        "feature cosine vs the fp32 parity path >= 0.9999)")
     parser.add_argument("--fold", dest="fold", type=int,
                         help="Fold number to generate; all folds if unset")
     parser.add_argument("-ump", "--us8k-metadata-path",
@@ -98,6 +101,7 @@ if __name__ == "__main__":
         LOGGER.info("Loading embedding model (%s)...", model_type)
         l3embedding_model = EmbeddingExtractor(
             model_path, model_type, pooling_type,
+            fast=args["fast"],
             db_batch_global=args["db_batch_global"],
         )
     else:
