@@ -123,7 +123,7 @@ def make_train_step(
 
 
 def _make_per_replica_train_step(model, donate: bool, mesh):
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     if "model" in mesh.shape and mesh.shape["model"] != 1:
@@ -164,7 +164,7 @@ def _make_per_replica_train_step(model, donate: bool, mesh):
             mesh=mesh,
             in_specs=(P(), P(), P("data"), P("data"), P("data")),
             out_specs=(P(), P(), P()),
-            check_rep=False,
+            check_vma=False,
         )(
             state.params,
             state.batch_stats,

@@ -39,7 +39,7 @@ _WORKER = textwrap.dedent(
 
     import jax.numpy as jnp
     import numpy as np
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     mesh = Mesh(np.asarray(jax.devices()), axis_names=("data",))
