@@ -1,6 +1,15 @@
 """Fused Pallas TPU kernel for the mel-spectrogram front-end.
 
-The XLA formulation (frontend.melspectrogram) materializes two large
+Status (round 2): measured SLOWER end-to-end than the bf16 chunk-framed
+XLA formulation (frontend.melspectrogram_bf16: 3.1 ms vs 5.0 ms at
+batch 128 on v5e) — XLA fuses the elementwise stages into the MXU
+matmuls well once the gather framing is gone, and this kernel's
+per-sample grid serializes small matmuls. Kept as the selectable
+alternative (L3_TRAIN_FRONTEND=fused) and as the in-VMEM design
+reference; it also documents why the batch≥160 remote-compiler SIGABRT
+disappeared when it left the default path.
+
+The f32 XLA formulation (frontend.melspectrogram) materializes two large
 intermediates in HBM per batch: the DFT projections (B, T, 1025) x2 and
 the power spectrogram. This kernel keeps everything in VMEM:
 

@@ -128,7 +128,6 @@ def bench_train(batch):
     dt = timeit(call, state, sharded)
     print(json.dumps({
         "variant": "train_step",
-        "pool": os.environ.get("L3_POOL_IMPL", "reshape"),
         "frontend": os.environ.get("L3_TRAIN_FRONTEND", "xla"),
         "batch": batch, "ms": round(dt * 1e3, 3),
         "pairs_per_sec": round(batch / dt, 1),
