@@ -77,7 +77,7 @@ def bench_train(args, rng):
         shard_batch(make_batch(args.batch_size, rng), mesh) for _ in range(2)
     ]
 
-    for i in range(args.warmup):
+    for i in range(max(1, args.warmup)):
         state, metrics = step(state, batches[i % 2])
     float(metrics["loss"])  # scalar fetch: the only reliable sync here
 

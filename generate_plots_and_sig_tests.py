@@ -184,32 +184,64 @@ def holm_bonferroni(p_values):
     return adj.tolist()
 
 
-def _fold_values(rows, metric):
-    """rows → {fold: [values]} using per-class accuracies when present
-    (reference concatenates class_accuracy lists per fold, :300-306)."""
-    by_fold = defaultdict(list)
-    for r in rows:
+_IDENT_KEYS = (
+    "audioset_subset",
+    "embedding_model_type",
+    "embedding_length",
+    "augmented",
+)
+
+
+def _cell_values(rows, metric, var):
+    """rows → {(fold, complement_ident): [values]}.
+
+    Values are per-class accuracies when present (the reference
+    concatenates class_accuracy lists per fold, :300-306), NaN-filtered
+    and float-coerced for both collectors. The complement identity — the
+    grouping attributes *other than* `var` — is the pairing key: a
+    Wilcoxon pair must compare the same complementary configuration in
+    the same fold, never whatever order the filesystem walked."""
+    comp_keys = [k for k in _IDENT_KEYS if k != var] if var else []
+    cells = defaultdict(list)
+    for r in sorted(rows, key=lambda r: r["representation"]):
+        comp = tuple(r[k] for k in comp_keys)
         if metric == "test_acc" and r.get("class_accuracy"):
-            by_fold[r["fold"]].extend(r["class_accuracy"])
+            vals = r["class_accuracy"]
         else:
-            by_fold[r["fold"]].append(r[metric])
-    return by_fold
+            vals = [r[metric]]
+        clean = []
+        for v in vals:
+            try:
+                v = float(v)
+            except (TypeError, ValueError):
+                continue
+            if not np.isnan(v):
+                clean.append(v)
+        cells[(r["fold"], comp)].extend(clean)
+    return cells
 
 
-def _paired_series(rows_a, rows_b, dataset, metric):
-    """Concatenated fold-aligned value series for a Wilcoxon pair.
+def _paired_series(rows_a, rows_b, dataset, metric, var):
+    """Concatenated aligned value series for a Wilcoxon pair.
 
+    Cells with mismatched value counts between the two groups are
+    skipped outright (pairing would be meaningless), never truncated.
     DCASE2013 compares fold 2 only (reference :334-336): its 'folds' are
     not cross-validation folds, so only the canonical test fold pairs."""
-    fa, fb = _fold_values(rows_a, metric), _fold_values(rows_b, metric)
-    folds = sorted(set(fa) & set(fb))
-    if dataset == "dcase2013":
-        folds = [f for f in folds if f == 2] or folds[:1]
-    a, b = [], []
-    for f in folds:
-        n = min(len(fa[f]), len(fb[f]))
-        a.extend(fa[f][:n])
-        b.extend(fb[f][:n])
+    ca = _cell_values(rows_a, metric, var)
+    cb = _cell_values(rows_b, metric, var)
+    keys = sorted(set(ca) & set(cb))
+    if dataset == "dcase2013" and keys:
+        folds_avail = sorted({k[0] for k in keys})
+        chosen = 2 if 2 in folds_avail else folds_avail[0]
+        keys = [k for k in keys if k[0] == chosen]
+    a, b, folds = [], [], set()
+    for k in keys:
+        if len(ca[k]) != len(cb[k]):
+            continue
+        a.extend(ca[k])
+        b.extend(cb[k])
+        folds.add(k[0])
     return np.asarray(a), np.asarray(b), len(folds)
 
 
@@ -237,7 +269,7 @@ def grouped_stat_tests(rows, metric="test_acc", alpha=0.05, var=None):
         dataset_tests = []
         for ka, kb in itertools.combinations(sorted(groups), 2):
             a, b, n_folds = _paired_series(
-                groups[ka], groups[kb], dataset, metric
+                groups[ka], groups[kb], dataset, metric, var
             )
             if len(a) < 2 or n_folds < 1:
                 continue

@@ -120,7 +120,10 @@ class L3AudioTower(nn.Module):
         # Training-time (bf16) front-end implementation: the chunked-
         # framing XLA bf16 path by default; L3_TRAIN_FRONTEND=fused picks
         # the Pallas kernel (kept for the ablation; the XLA path measured
-        # faster end-to-end once the gather framing was removed).
+        # faster end-to-end once the gather framing was removed). The env
+        # var is read at TRACE time: set it before the model is first
+        # jitted — changing it afterwards is ignored by the jit cache
+        # (it's an ablation knob, not a runtime switch).
         fast = self.dtype == jnp.bfloat16
         impl = os.environ.get("L3_TRAIN_FRONTEND", "xla")
         # The fused Pallas kernel implements per-sample dB only.

@@ -17,6 +17,7 @@ parallelism follows the physical device mesh (SURVEY.md §2.6).
 
 from __future__ import annotations
 
+import collections
 import csv
 import datetime
 import getpass
@@ -284,6 +285,13 @@ def train(
             # adds below dispatch asynchronously; the only host sync per
             # epoch is the scalar fetch after the last step.
             tr_loss_sum = tr_acc_sum = None
+            # Backpressure on async dispatch: without the old per-step
+            # device_get, the host could enqueue the whole epoch, pinning
+            # every queued batch in device memory. Holding a short window
+            # of per-step losses and fetching the oldest (a scalar, long
+            # since computed) bounds in-flight steps without serializing.
+            inflight = collections.deque()
+            max_inflight = max(2, 2 * prefetch_batches)
             for _ in range(train_epoch_size):
                 t0 = time.perf_counter()
                 batch = next(train_pipe)
@@ -294,16 +302,24 @@ def train(
                 else:
                     tr_loss_sum = tr_loss_sum + step_loss
                     tr_acc_sum = tr_acc_sum + metrics["acc"]
+                inflight.append(metrics["loss"])
+                if len(inflight) > max_inflight:
+                    float(inflight.popleft())
                 # Dispatch interval, not device time: steps are async.
                 batch_times.append(time.perf_counter() - t0)
                 if profile_remaining > 0:
                     profile_remaining -= 1
                     if profile_remaining == 0:
+                        # Sync before stopping: dispatch is async, so the
+                        # profiled steps must actually execute inside the
+                        # trace window.
+                        float(metrics["loss"])
                         jax.profiler.stop_trace()
                         LOGGER.info(
                             "Profiler trace written to %s",
                             os.path.join(model_dir, "profile"),
                         )
+            inflight.clear()
             tr_loss_mean = float(tr_loss_sum) / train_epoch_size
             tr_acc_mean = float(tr_acc_sum) / train_epoch_size
 

@@ -151,7 +151,11 @@ def get_credentials(google_dev_app_name, spreadsheet_path=None):
                 scopes=["https://www.googleapis.com/auth/spreadsheets"],
             )
         )
-    except ImportError:
+    except Exception:
+        # Not importable, or the file isn't a service-account key (e.g.
+        # an authorized_user ADC JSON set globally for other tooling).
+        # Tracking must never take down a training run — fall back to
+        # the LocalSheet backend.
         pass
     return marker
 
