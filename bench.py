@@ -91,8 +91,11 @@ def bench_train(args, rng):
     return pairs_per_sec / jax.device_count()
 
 
-def bench_extract(args, rng):
+def bench_extract(args, rng, dtype="f32"):
+    """dtype='f32' is the parity-gated configuration (the reported
+    metric); 'bf16' measures the fast tower (cosine >= 0.9999 vs f32)."""
     import jax
+    import jax.numpy as jnp
 
     from l3embedding_tpu.models import audio_embedding_fn, build_model
 
@@ -104,7 +107,13 @@ def bench_extract(args, rng):
         np.zeros((1, 1, 48000), np.float32),
         train=False,
     )
-    fn = jax.jit(audio_embedding_fn(args.model_type, "short"))
+    fn = jax.jit(
+        audio_embedding_fn(
+            args.model_type,
+            "short",
+            compute_dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
+        )
+    )
     import jax.numpy as jnp
 
     audio = jnp.asarray(
@@ -132,10 +141,14 @@ def main():
     p.add_argument(
         "--dtype",
         choices=["bf16", "f32"],
-        default="bf16",
-        help="training compute dtype (params always f32); extract is f32",
+        default=None,
+        help="compute dtype; defaults per mode: train bf16 (params stay "
+        "f32), extract f32 (the parity-gated configuration — pass bf16 "
+        "to measure the fast extraction tower)",
     )
     args = p.parse_args()
+    if args.dtype is None:
+        args.dtype = "f32" if args.mode == "extract" else "bf16"
 
     import jax
 
@@ -150,9 +163,14 @@ def main():
     rng = np.random.RandomState(0)
 
     if args.mode == "extract":
-        clips = bench_extract(args, rng)
+        # --dtype bf16 here measures the fast tower; default f32 is the
+        # parity-gated configuration.
+        clips = bench_extract(
+            args, rng, dtype="bf16" if args.dtype == "bf16" else "f32"
+        )
         print(json.dumps({
-            "metric": "embedding_clips_per_sec_melspec2_short",
+            "metric": "embedding_clips_per_sec_melspec2_short"
+            + ("_bf16" if args.dtype == "bf16" else ""),
             "value": round(clips, 2),
             "unit": "1s-clips/sec",
             "vs_baseline": round(clips / REFERENCE_PAIRS_PER_SEC_4GPU, 2),

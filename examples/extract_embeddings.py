@@ -25,7 +25,7 @@ def main():
     p.add_argument("--pooling", default="short", choices=["short", "original"])
     p.add_argument("--hop-size", type=float, default=0.1)
     p.add_argument("--fast", action="store_true",
-                   help="bf16 + fused Pallas front-end")
+                   help="bf16 fast tower (cosine >= 0.9999 vs f32)")
     p.add_argument("-o", "--output", help="save embeddings to .npz")
     args = p.parse_args()
 
