@@ -1,0 +1,55 @@
+"""bench.py is the driver's measurement surface — a breakage there costs
+a whole round's benchmark artifact, so its CLI contract is guarded here
+on CPU with the tiny model: one JSON object on the last stdout line,
+carrying the metric/value/vs_baseline keys the driver parses.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(*args):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"),
+         "--model-type", "tiny_L3", "--batch-size", "8",
+         "--steps", "2", "--warmup", "1", *args],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    last = proc.stdout.strip().splitlines()[-1]
+    return json.loads(last)
+
+
+def test_bench_both_modes_json_contract():
+    out = run_bench()  # default --mode both
+    assert out["metric"] == "avc_train_pairs_per_sec_per_chip_melspec2"
+    assert out["value"] > 0
+    assert out["vs_baseline"] > 0
+    extra = out["extra"]
+    assert extra["extract_clips_per_sec"] > 0
+    assert extra["v5e8_projected_pairs_per_sec"] > extra.get(
+        "vs_ref_4gpu_aggregate", 0
+    )
+    # The three framings stay mutually consistent: per-accelerator is 4x
+    # the 4-GPU-aggregate ratio, the v5e-8 projection 8x the per-chip.
+    assert abs(out["vs_baseline"] - 4 * extra["vs_ref_4gpu_aggregate"]) < 0.05
+    assert (
+        abs(extra["v5e8_projected_pairs_per_sec"] - 8 * out["value"]) < 0.1
+    )
+
+
+def test_bench_extract_mode():
+    out = run_bench("--mode", "extract")
+    assert out["metric"] == "embedding_clips_per_sec_melspec2_short"
+    assert out["value"] > 0
+
+
+def test_bench_warmup_zero_does_not_crash():
+    out = run_bench("--mode", "train", "--warmup", "0")
+    assert out["value"] > 0

@@ -117,3 +117,22 @@ def test_export_embedding_model_roundtrip(tmp_path, monkeypatch):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert os.path.exists(fe_prefix + ".json")
     assert not os.path.exists(fe_prefix + ".ckpt")
+
+
+def test_extractor_fast_path_cosine():
+    """fast=True (the 05 --fast flag) must produce embeddings within the
+    documented cosine of the f32 parity path."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    windows = (rng.randn(4, 48000) * 0.1).astype(np.float32)
+    slow = EmbeddingExtractor(None, "tiny_L3", "short")
+    # Same weights, fast tower.
+    fast = EmbeddingExtractor(None, "tiny_L3", "short", fast=True)
+    fast.variables = slow.variables
+    a = slow.embed_windows(windows)
+    b = fast.embed_windows(windows)
+    assert a.shape == b.shape
+    for x, y in zip(a, b):
+        cos = (x @ y) / (np.linalg.norm(x) * np.linalg.norm(y) + 1e-12)
+        assert cos > 0.999, cos
