@@ -80,15 +80,20 @@ class EmbeddingExtractor:
         sr: int = 48000,
         fast: bool = False,
         db_batch_global: bool = False,
+        mesh=None,
     ):
         """fast=True switches the tower to bf16 compute with the bf16 MXU
         front-end — higher throughput, feature cosine vs the f32 path
         ≥ 0.9999; leave False for the parity-gated configuration.
         db_batch_global=True reproduces kapre<=0.1.x's batch-global dB
-        quirk for checkpoints trained under it (registry.ModelSpec)."""
+        quirk for checkpoints trained under it (registry.ModelSpec).
+        mesh: a jax.sharding.Mesh for multi-chip serving — window batches
+        shard over its 'data' axis and parameters replicate, so one
+        extractor saturates a v5e-8 the same way the train step does."""
         self.model_type = model_type
         self.pooling_type = pooling_type
         self.sr = sr
+        self.mesh = mesh
         spec = build_model(model_type)
         model = spec.module(
             compute_dtype=jnp.bfloat16 if fast else jnp.float32,
@@ -102,7 +107,12 @@ class EmbeddingExtractor:
         )
         if weights_path is not None:
             variables = checkpoints.load_variables(weights_path, variables)
-        self.variables = jax.device_put(variables)
+        if mesh is not None:
+            from ..parallel import replicate
+
+            self.variables = replicate(variables, mesh)
+        else:
+            self.variables = jax.device_put(variables)
         self._fn = jax.jit(
             audio_embedding_fn(
                 model_type,
@@ -116,11 +126,19 @@ class EmbeddingExtractor:
         """(N, frame_length) float32 → (N, dim) embeddings."""
         n = windows.shape[0]
         bucket = _bucket(n)
+        if self.mesh is not None:
+            # Bucket must split evenly over the data axis.
+            ndata = self.mesh.shape["data"]
+            bucket = max(bucket, ndata)
         if bucket != n:
             windows = np.concatenate(
                 [windows, np.zeros((bucket - n, windows.shape[1]), np.float32)]
             )
         x = windows[:, None, :]  # (B, 1, 48000) reference input convention
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+
+            x = jax.device_put(x, batch_sharding(self.mesh))
         emb = self._fn(self.variables, x)
         return np.asarray(emb)[:n]
 

@@ -136,3 +136,29 @@ def test_extractor_fast_path_cosine():
     for x, y in zip(a, b):
         cos = (x @ y) / (np.linalg.norm(x) * np.linalg.norm(y) + 1e-12)
         assert cos > 0.999, cos
+
+
+def test_extractor_sharded_over_mesh():
+    """mesh-sharded extraction (v5e-8 serving config): identical
+    embeddings to the single-device extractor, windows sharded over the
+    'data' axis of the 8-device mesh."""
+    import numpy as np
+
+    from l3embedding_tpu.parallel import create_mesh
+
+    rng = np.random.RandomState(6)
+    windows = (rng.randn(20, 48000) * 0.1).astype(np.float32)
+
+    single = EmbeddingExtractor(None, "tiny_L3", "short")
+    mesh = create_mesh(jax.devices()[:8], model_axis=1)
+    sharded = EmbeddingExtractor(None, "tiny_L3", "short", mesh=mesh)
+    # Same weights (inits share the seed, but be explicit).
+    sharded_vars = jax.device_get(single.variables)
+    from l3embedding_tpu.parallel import replicate
+
+    sharded.variables = replicate(sharded_vars, mesh)
+
+    a = single.embed_windows(windows)
+    b = sharded.embed_windows(windows)
+    assert a.shape == b.shape == (20, a.shape[1])
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
