@@ -91,10 +91,18 @@ def sample_one_second(audio_data, sampling_frequency, augment=False):
 
 
 def sample_cropped_frame(frame_data):
-    """Random 224×224 crop (reference sample.py:169-193)."""
+    """Random 224×224 crop (reference sample.py:169-193).
+
+    A frame with a side exactly 224 has one valid crop position; the
+    reference's bare randrange(0) crashes there (sample.py:182) — the
+    max(1, ...) keeps the RNG draw count identical for all larger frames
+    while accepting the boundary. Sides < 224 still raise (handled as a
+    dead streamer by the sampler)."""
     nx, ny, _ = frame_data.shape
-    start_x = random.randrange(nx - 224)
-    start_y = random.randrange(ny - 224)
+    if nx < 224 or ny < 224:
+        raise ValueError(f"frame {(nx, ny)} smaller than the 224x224 crop")
+    start_x = random.randrange(max(1, nx - 224))
+    start_y = random.randrange(max(1, ny - 224))
     bbox = {"start_x": start_x, "start_y": start_y}
     return frame_data[start_x : start_x + 224, start_y : start_y + 224, :], bbox
 
@@ -241,8 +249,33 @@ def sampler(video_1, video_2, rate=32, augment=False, precompute=False,
 
     video_data_1 = _read_video(video_file_1)
     video_data_2 = _read_video(video_file_2)
+    # Reproduced reference quirks (sample.py:445-459): file 2's sample
+    # rate overwrites file 1's (corpora are assumed uniform-rate, 48 kHz),
+    # and frames are indexed at an assumed 30 fps downstream
+    # (sample_one_frame's default; reference sample.py:196-214 never
+    # passes the probed rate either).
     audio_data_1, sampling_frequency = _read_audio(audio_file_1)
     audio_data_2, sampling_frequency = _read_audio(audio_file_2)
+
+    def _generate():
+        # Bad per-file data surfacing mid-stream (e.g. a pre-decoded clip
+        # whose frames are smaller than the 224x224 crop -> randrange
+        # ValueError, reference sample.py:182 crashes outright) is a
+        # per-streamer problem: raise StreamerDead so the mux replaces
+        # this streamer instead of killing the whole factory.
+        try:
+            return generate_sample(
+                audio_file_1, audio_data_1, audio_file_2, audio_data_2,
+                video_file_1, video_data_1, video_file_2, video_data_2,
+                sampling_frequency, augment=augment,
+                include_metadata=include_metadata,
+            )
+        except (ValueError, IndexError) as e:
+            msg = (f"Could not sample from pair ({video_file_1}, "
+                   f"{video_file_2}) - {type(e)}: {e}; Skipping...")
+            LOGGER.warning(msg)
+            warnings.warn(msg)
+            raise StreamerDead(video_file_1) from e
 
     if precompute:
         # Draw enough samples up front that memory can be freed
@@ -250,26 +283,13 @@ def sampler(video_1, video_2, rate=32, augment=False, precompute=False,
         import scipy.stats
 
         num_samples = int(scipy.stats.poisson.ppf(0.999, rate))
-        samples = [
-            generate_sample(
-                audio_file_1, audio_data_1, audio_file_2, audio_data_2,
-                video_file_1, video_data_1, video_file_2, video_data_2,
-                sampling_frequency, augment=augment,
-                include_metadata=include_metadata,
-            )
-            for _ in range(num_samples)
-        ]
+        samples = [_generate() for _ in range(num_samples)]
         del video_data_1, video_data_2, audio_data_1, audio_data_2
         while samples:
             yield samples.pop()
     else:
         while True:
-            yield generate_sample(
-                audio_file_1, audio_data_1, audio_file_2, audio_data_2,
-                video_file_1, video_data_1, video_file_2, video_data_2,
-                sampling_frequency, augment=augment,
-                include_metadata=include_metadata,
-            )
+            yield _generate()
 
 
 class StreamMux:
@@ -293,20 +313,19 @@ class StreamMux:
             self._activate_next()
 
     def _activate_next(self):
-        attempts = 0
-        while attempts < max(len(self.seeds) * 2, 8):
-            if self._next_seed >= len(self.seeds):
-                if not self.cycle:
-                    return False
-                self._next_seed = 0
-            factory = self.seeds[self._next_seed]
-            self._next_seed += 1
-            attempts += 1
-            gen = factory()
-            budget = max(1, int(self.rng.poisson(self.rate)))
-            self._active.append([gen, budget])
-            return True
-        return False
+        # factory() just constructs a generator (decode errors surface at
+        # the first next() and are handled in __next__), so activation
+        # itself cannot fail — no retry loop needed.
+        if self._next_seed >= len(self.seeds):
+            if not self.cycle:
+                return False
+            self._next_seed = 0
+        factory = self.seeds[self._next_seed]
+        self._next_seed += 1
+        gen = factory()
+        budget = max(1, int(self.rng.poisson(self.rate)))
+        self._active.append([gen, budget])
+        return True
 
     def __iter__(self):
         return self
@@ -363,6 +382,12 @@ def data_generator(
         LOGGER.info("Using a subset of %d videos", max_videos)
         random.shuffle(file_list)
         file_list = file_list[:max_videos]
+
+    if num_distractors >= 1 and len(file_list) < 2:
+        raise ValueError(
+            f"AVC sampling draws distractors from other videos; the subset "
+            f"has {len(file_list)} video(s) (need >= 2)"
+        )
 
     seeds = []
     for video_1 in file_list:

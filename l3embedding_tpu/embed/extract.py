@@ -42,6 +42,13 @@ def frame_uniform(audio: np.ndarray, sr: int = 48000, hop_size: float = 0.1):
     if audio_length < frame_length:
         pad_length = frame_length - audio_length
     else:
+        # Deliberately reproduced reference quirk (features.py:288): the
+        # ceil is applied to the *difference*, not the quotient — a no-op
+        # on an integer — so non-hop-aligned clips lose their trailing
+        # partial window (pad_length <= 0, guarded below). The corrected
+        # formula would be ceil((len - frame)/hop)*hop - (len - frame);
+        # we keep the reference behavior so embedding row counts align
+        # file-for-file with reference-extracted feature sets.
         pad_length = (
             int(np.ceil(audio_length - frame_length) / hop_length) * hop_length
             - (audio_length - frame_length)
@@ -127,9 +134,10 @@ class EmbeddingExtractor:
         n = windows.shape[0]
         bucket = _bucket(n)
         if self.mesh is not None:
-            # Bucket must split evenly over the data axis.
+            # Bucket must split evenly over the data axis (which need not
+            # be a power of two — e.g. a 6-chip slice).
             ndata = self.mesh.shape["data"]
-            bucket = max(bucket, ndata)
+            bucket = -(-bucket // ndata) * ndata
         if bucket != n:
             windows = np.concatenate(
                 [windows, np.zeros((bucket - n, windows.shape[1]), np.float32)]

@@ -56,7 +56,15 @@ def data_generator(
     curr = 0
     batch_idx = 0
 
-    file_list = sorted(os.listdir(data_dir))
+    # The reference iterates os.listdir unfiltered (train.py:147) — a
+    # stray non-HDF5 file would crash hours into training, and an empty
+    # directory would busy-loop forever. Filter and fail fast instead;
+    # ordering for valid corpora is unchanged.
+    file_list = sorted(
+        f for f in os.listdir(data_dir) if f.endswith((".h5", ".hdf5"))
+    )
+    if not file_list:
+        raise ValueError(f"no .h5 batch files in {data_dir!r}")
     for fname in cycle_shuffle(file_list, rng=rng):
         path = os.path.join(data_dir, fname)
         with h5py.File(path, "r") as blob:
@@ -107,6 +115,7 @@ class AsyncBatchPipeline:
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._stop = threading.Event()
         self._exc = None
+        self._done = False
         self._thread = threading.Thread(target=self._worker, daemon=True)
         self._thread.start()
 
@@ -124,14 +133,30 @@ class AsyncBatchPipeline:
         except BaseException as e:  # surfaced on next __next__
             self._exc = e
         finally:
-            self._q.put(None)
+            # Bounded sentinel put: after close() drains the queue a
+            # blocking put(None) could hang forever (nobody consumes),
+            # leaving close() to eat the full join timeout.
+            while not self._stop.is_set():
+                try:
+                    self._q.put(None, timeout=0.25)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._done:
+            # Keep the iterator protocol after exhaustion (the single
+            # sentinel is consumed once; a second get() would block on an
+            # empty queue with the worker already gone).
+            if self._exc is not None:
+                raise self._exc
+            raise StopIteration
         item = self._q.get()
         if item is None:
+            self._done = True
             if self._exc is not None:
                 raise self._exc
             raise StopIteration

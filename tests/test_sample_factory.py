@@ -4,6 +4,7 @@ mux behavior, HDF5 schema — against synthetic pre-decoded corpora."""
 import glob
 import os
 import random
+import warnings
 
 import h5py
 import numpy as np
@@ -199,3 +200,72 @@ def test_sample_and_save_is_reproducible(corpus, tmp_path):
              h5py.File(os.path.join(outs[1], fname)) as fb:
             for key in ("audio", "video", "label"):
                 np.testing.assert_array_equal(fa[key][...], fb[key][...])
+
+
+def test_small_frame_streamer_replaced_not_fatal(tmp_path):
+    """A clip whose frames are smaller than the 224x224 crop must kill
+    only its streamer (skip-and-replace semantics), not the factory —
+    the reference crashes outright there (sample.py:182)."""
+    import csv
+
+    root = str(tmp_path / "corpus")
+    rows = make_corpus(root, n_videos=3, seed=3)
+    # Corrupt one clip: 200x200 frames.
+    bad = np.random.RandomState(0).randint(
+        0, 256, size=(30, 200, 200, 3)
+    ).astype(np.uint8)
+    np.save(rows[1]["video_filepath"], bad)
+    subset = os.path.join(root, "subset.csv")
+    with open(subset, "w", newline="") as f:
+        w = csv.DictWriter(
+            f, fieldnames=["ytid", "audio_filepath", "video_filepath"]
+        )
+        w.writeheader()
+        w.writerows(rows)
+
+    from l3embedding_tpu.data.sample import data_generator
+
+    gen = data_generator(subset, batch_size=8, random_state=5, k=4,
+                         augment=False, rate=2)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        batch = next(gen)
+    assert batch["video"].shape == (8, 224, 224, 3)
+
+
+def test_exact_224_frame_is_valid(tmp_path):
+    """A 224-sided frame has exactly one crop position and must work."""
+    from l3embedding_tpu.data.sample import sample_cropped_frame
+
+    frame = np.zeros((224, 240, 3), np.uint8)
+    crop, bbox = sample_cropped_frame(frame)
+    assert crop.shape == (224, 224, 3)
+    assert bbox["start_x"] == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="smaller"):
+        sample_cropped_frame(np.zeros((200, 240, 3), np.uint8))
+
+
+def test_single_video_subset_raises(tmp_path):
+    """Distractor sampling needs >= 2 videos; the reference spins
+    forever on a 1-row subset — we fail fast."""
+    import csv
+
+    import pytest as _pytest
+
+    root = str(tmp_path / "corpus")
+    rows = make_corpus(root, n_videos=1, seed=4)
+    subset = os.path.join(root, "subset.csv")
+    with open(subset, "w", newline="") as f:
+        w = csv.DictWriter(
+            f, fieldnames=["ytid", "audio_filepath", "video_filepath"]
+        )
+        w.writeheader()
+        w.writerows(rows)
+
+    from l3embedding_tpu.data.sample import data_generator
+
+    with _pytest.raises(ValueError, match="2"):
+        data_generator(subset, batch_size=4, random_state=1, k=2)

@@ -221,3 +221,66 @@ class TestGradientAccumulation:
                         jax.tree.leaves(s_accum.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-6)
+
+
+class TestDataDirHygiene:
+    def test_stray_files_ignored(self, tmp_path):
+        import h5py
+
+        d = tmp_path / "h5"
+        d.mkdir()
+        with h5py.File(d / "blob_000.h5", "w") as f:
+            f.create_dataset("audio", data=np.zeros((4, 1, 8), np.int16))
+            f.create_dataset("video", data=np.zeros((4, 2, 2, 3), np.uint8))
+            f.create_dataset("label", data=np.zeros((4, 2), np.float32))
+        (d / "README.txt").write_text("not a batch")
+        from l3embedding_tpu.training.data import data_generator
+
+        batch = next(data_generator(str(d), batch_size=4))
+        assert batch["label"].shape == (4, 2)
+
+    def test_empty_dir_fails_fast(self, tmp_path):
+        from l3embedding_tpu.training.data import data_generator
+
+        d = tmp_path / "empty"
+        d.mkdir()
+        with pytest.raises(ValueError, match="no .h5"):
+            next(data_generator(str(d), batch_size=4))
+
+
+class TestAsyncPipelineProtocol:
+    def test_exhaustion_is_sticky(self):
+        from l3embedding_tpu.training.data import AsyncBatchPipeline
+
+        with AsyncBatchPipeline(iter([1, 2]), prefetch=1) as pipe:
+            assert list(pipe) == [1, 2]
+            # Second exhaustion must raise StopIteration again, not hang.
+            with pytest.raises(StopIteration):
+                next(pipe)
+
+    def test_close_is_prompt_with_prefetch_one(self):
+        import itertools
+        import time as _time
+
+        from l3embedding_tpu.training.data import AsyncBatchPipeline
+
+        pipe = AsyncBatchPipeline(itertools.count(), prefetch=1)
+        assert next(pipe) == 0
+        t0 = _time.perf_counter()
+        pipe.close()
+        assert _time.perf_counter() - t0 < 5.0
+        assert not pipe._thread.is_alive()
+
+    def test_worker_exception_surfaces_and_stays(self):
+        from l3embedding_tpu.training.data import AsyncBatchPipeline
+
+        def gen():
+            yield 1
+            raise RuntimeError("boom")
+
+        with AsyncBatchPipeline(gen(), prefetch=2) as pipe:
+            assert next(pipe) == 1
+            with pytest.raises(RuntimeError, match="boom"):
+                next(pipe)
+            with pytest.raises(RuntimeError, match="boom"):
+                next(pipe)
