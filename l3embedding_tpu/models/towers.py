@@ -42,6 +42,13 @@ def _max_pool(x, window, strides=None, padding="VALID"):
     # on TPU v5e for these shapes — 3.0/4.4 ms fwd/bwd at
     # (128,224,224,64) bf16 vs 3.8/12.8 for a reshape+max formulation
     # and 5.3/17.4 for strided-slice maximum (tools/ablate_r2.py).
+    # Rejected optimization (measured): cropping VALID-pool inputs to
+    # window multiples before pooling. The audio tower's odd 199-frame
+    # axis does make the SelectAndScatter backward ~1.4x slower than the
+    # equal-sized even-width vision pool (4.06 vs 2.82 ms), but the crop
+    # slice materializes a full copy of the pre-pool activation (SAS
+    # operands don't fuse) and the step got slower overall (173.6 vs
+    # 168.5 ms at batch 128; tools/ablate_r2.py train).
     strides = strides or window
     return nn.max_pool(x, window_shape=window, strides=strides, padding=padding)
 

@@ -37,12 +37,26 @@ class AVCTrainState:
         )
 
 
-def make_optimizer(learning_rate: float) -> optax.GradientTransformation:
+def make_optimizer(
+    learning_rate: float, flatten: bool = False
+) -> optax.GradientTransformation:
     # Keras 2.0.9 Adam defaults (reference train.py:282): beta1=0.9,
     # beta2=0.999, eps=1e-8. L2 regularization enters through the loss
     # (Keras adds kernel_regularizer losses to the objective), not as
     # decoupled weight decay.
-    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    #
+    # flatten=True runs the update on one contiguous vector instead of
+    # per-leaf kernels (optax.flatten; mathematically identical — pinned
+    # by tests/test_training.py::test_flattened_optimizer_equivalence).
+    # Measured on the v5e melspec2 step it *loses*: the gradient
+    # ravel+concat appears as a 7.1 ms data-formatting pass (tiled→linear
+    # relayout per leaf), more than the ~5 ms of per-leaf update kernels
+    # it replaces (174.4 vs 166.9 ms/step; tools/profile_step.py). Kept
+    # selectable for re-evaluation on other hardware. Note the opt_state
+    # pytree differs between the two settings, so a checkpoint written
+    # with one cannot restore onto the other.
+    tx = optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-8)
+    return optax.flatten(tx) if flatten else tx
 
 
 def create_train_state(

@@ -284,3 +284,38 @@ class TestAsyncPipelineProtocol:
                 next(pipe)
             with pytest.raises(RuntimeError, match="boom"):
                 next(pipe)
+
+
+def test_flattened_optimizer_equivalence():
+    """make_optimizer(flatten=True) — one fused Adam over the raveled
+    params (the launch-bound per-leaf updates cost ~5 ms/step on the
+    profiled melspec2 step) — must produce bit-identical updates to the
+    per-leaf optimizer."""
+    import jax
+    import jax.numpy as jnp
+
+    from l3embedding_tpu.training.state import make_optimizer
+
+    params = {
+        "conv": {"kernel": jnp.arange(12.0).reshape(3, 4) / 7.0,
+                 "bias": jnp.ones((4,)) * 0.3},
+        "bn": {"scale": jnp.linspace(0.5, 1.5, 6)},
+    }
+    grads = jax.tree.map(lambda p: jnp.cos(p) * 0.01, params)
+
+    outs = []
+    for flatten in (False, True):
+        tx = make_optimizer(1e-3, flatten=flatten)
+        opt_state = tx.init(params)
+        p = params
+        for _ in range(3):
+            updates, opt_state = tx.update(grads, opt_state, p)
+            import optax
+
+            p = optax.apply_updates(p, updates)
+        outs.append(p)
+
+    flat0 = jax.tree_util.tree_leaves(outs[0])
+    flat1 = jax.tree_util.tree_leaves(outs[1])
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

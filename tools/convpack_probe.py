@@ -45,9 +45,17 @@ def main():
     p.add_argument("--steps", type=int, default=10)
     args = p.parse_args()
 
+    import os
+
     import jax
     import jax.numpy as jnp
     from jax import lax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+    except Exception:
+        pass
 
     B, S, C = args.batch, args.spatial, args.cin
     rng = np.random.RandomState(0)
