@@ -86,6 +86,15 @@ def parse_arguments():
                         help="Reproduce kapre<=0.1.x's batch-global dB "
                         "max reference in the audio front-end (reference "
                         "audio_model.py:138-151); default is per-sample")
+    parser.add_argument("--sync-checkpoints", dest="async_checkpoints",
+                        action="store_false",
+                        help="Write checkpoints synchronously in the "
+                        "training loop instead of on a background thread")
+    parser.add_argument("--no-preemption-handler",
+                        dest="handle_preemption", action="store_false",
+                        help="Do not install the SIGTERM/SIGINT handler "
+                        "that snapshots exact-step state (preempt.json + "
+                        "model_latest.ckpt) and exits cleanly")
     parser.add_argument("train_data_dir", type=str,
                         help="Path to directory of training h5 batch files")
     parser.add_argument("validation_data_dir", type=str,

@@ -7,4 +7,5 @@ from .mesh import (  # noqa: F401
     create_mesh,
     replicate,
     shard_batch,
+    shard_batch_local,
 )

@@ -59,7 +59,29 @@ def shard_batch(batch, mesh: Mesh):
     """Device_put a host batch with the batch dim split over 'data'.
 
     Works for dict / tuple pytrees whose leaves all have a leading batch
-    dimension divisible by the data-axis size.
+    dimension divisible by the data-axis size. Single-process form: the
+    caller holds the full global batch. For multi-host pods use
+    shard_batch_local.
     """
     sharding = batch_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_batch_local(local_batch, mesh: Mesh):
+    """Assemble a global batch-sharded array from PER-PROCESS data.
+
+    Multi-host form of shard_batch: every process passes only its own
+    slice of the global batch (global_batch // process_count rows,
+    e.g. from `data_generator(..., shard_index=process_index,
+    shard_count=process_count)`), and the returned jax.Arrays are
+    globally sharded over the mesh's 'data' axis without any host ever
+    materializing the full batch. On a single process this degenerates
+    to shard_batch exactly.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(local_batch, mesh)
+    sharding = batch_sharding(mesh)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x),
+        local_batch,
+    )

@@ -11,6 +11,8 @@ onto any mesh because sharding is applied at load time, not bake time.
 from __future__ import annotations
 
 import os
+import queue
+import threading
 
 import flax.serialization
 import jax
@@ -26,19 +28,95 @@ def _to_host(tree):
     return jax.tree.map(np.asarray, tree)
 
 
-def save_state(path: str, state) -> None:
-    """Atomically serialize {step, params, batch_stats, opt_state}."""
-    payload = {
+def _state_payload(state):
+    return {
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     }
-    blob = flax.serialization.to_bytes(_to_host(payload))
+
+
+def _write_atomic(path: str, blob: bytes) -> None:
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)
+
+
+def save_state(path: str, state) -> None:
+    """Atomically serialize {step, params, batch_stats, opt_state}."""
+    blob = flax.serialization.to_bytes(_to_host(_state_payload(state)))
+    _write_atomic(path, blob)
+
+
+class AsyncCheckpointWriter:
+    """Overlaps checkpoint serialization + disk writes with training.
+
+    save() snapshots the state to host memory synchronously — this is
+    required for correctness, not just latency: the train step donates
+    its input state buffers, so the device arrays captured at epoch N
+    are invalidated the moment step N+1 dispatches — then hands the
+    msgpack encode + atomic write to a background thread. Writes are
+    applied in submission order (one worker), so `model_latest.ckpt`
+    never goes backwards; each file appears atomically via tmp+rename.
+    A failed write re-raises on the next save()/close() rather than
+    being swallowed. Use as a context manager or call close() to drain.
+    """
+
+    def __init__(self, max_pending: int = 4):
+        self._q: queue.Queue = queue.Queue(maxsize=max_pending)
+        self._exc: BaseException | None = None
+        self._closed = False
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            path, host_tree = item
+            try:
+                _write_atomic(path, flax.serialization.to_bytes(host_tree))
+            except BaseException as e:  # surfaced on next save/close
+                self._exc = e
+
+    def _check(self):
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
+
+    def save(self, path: str, state) -> None:
+        if self._closed:
+            raise RuntimeError("AsyncCheckpointWriter is closed")
+        self._check()
+        # Synchronous device→host fetch (see class docstring), async
+        # encode+write. np.asarray also decouples the snapshot from any
+        # later in-place mutation of host-side leaves.
+        self._q.put((path, _to_host(_state_payload(state))))
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        self._q.put(None)
+        self._thread.join()
+        self._check()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        # Don't mask an in-flight exception with a write error.
+        if exc and exc[0] is not None:
+            try:
+                self.close()
+            except Exception:
+                pass
+            return False
+        self.close()
+        return False
 
 
 def load_state(path: str, state):

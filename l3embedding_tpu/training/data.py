@@ -45,11 +45,29 @@ def data_generator(
     random_state=20180123,
     start_batch_idx=None,
     keys=None,
+    shard_index=0,
+    shard_count=1,
 ):
     """Yields dict batches of exactly batch_size, concatenated across blob
     files, in seeded cycle_shuffle order. Raw dtypes (no float conversion).
+
+    shard_index/shard_count partition the corpus for multi-host data
+    parallelism: each process reads the disjoint file subset
+    ``files[shard_index::shard_count]`` and shuffles it with a
+    per-shard-offset seed, so a pod feeds its hosts without any
+    coordination or duplicated reads (the reference is single-host only,
+    training_utils.py:21-170; this is the pod extension of its worker
+    seeding convention, 02_generate_samples.py:120-141 /
+    sample.py:578). `batch_size` stays the PER-PROCESS size: callers
+    pass global_batch // process_count, and
+    `parallel.shard_batch_local` assembles the global device array from
+    the per-process shards.
     """
-    rng = random.Random(random_state)
+    if not 0 <= shard_index < shard_count:
+        raise ValueError(
+            f"shard_index {shard_index} not in [0, {shard_count})"
+        )
+    rng = random.Random(random_state + shard_index)
     keys = list(keys) if keys else list(DEFAULT_KEYS)
 
     parts = []  # list of per-key dict chunks
@@ -63,6 +81,13 @@ def data_generator(
     file_list = sorted(
         f for f in os.listdir(data_dir) if f.endswith((".h5", ".hdf5"))
     )
+    if shard_count > 1:
+        file_list = file_list[shard_index::shard_count]
+        if not file_list:
+            raise ValueError(
+                f"corpus {data_dir!r} has fewer .h5 files than "
+                f"shard_count={shard_count} (shard {shard_index} is empty)"
+            )
     if not file_list:
         raise ValueError(f"no .h5 batch files in {data_dir!r}")
     for fname in cycle_shuffle(file_list, rng=rng):

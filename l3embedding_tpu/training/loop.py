@@ -18,6 +18,7 @@ parallelism follows the physical device mesh (SURVEY.md §2.6).
 from __future__ import annotations
 
 import collections
+import contextlib
 import csv
 import datetime
 import getpass
@@ -25,14 +26,16 @@ import json
 import logging
 import os
 import pickle
+import signal
 import subprocess
+import threading
 import time
 
 import jax
 import numpy as np
 
 from ..models import build_model
-from ..parallel import create_mesh, replicate, shard_batch
+from ..parallel import create_mesh, replicate, shard_batch_local
 from ..utils.log import init_console_logger, init_file_logger
 from ..utils.tracker import JSONLTracker, NullTracker
 from . import checkpoints
@@ -44,6 +47,48 @@ LOGGER = logging.getLogger("l3embedding_tpu")
 LOGGER.setLevel(logging.DEBUG)
 
 HISTORY_CSV_FIELDS = ["epoch", "acc", "loss", "val_acc", "val_loss"]
+
+PREEMPT_FILE = "preempt.json"
+
+
+class _PreemptionGuard:
+    """SIGTERM/SIGINT → checkpoint-and-exit-cleanly flag.
+
+    Cloud TPU workers get a SIGTERM grace window on preemption/
+    maintenance; the reference's only recovery story is manual
+    epoch-level resume (reference train.py:263-265 + sbatch resume
+    scripts). The guard converts the signal into a step-boundary flag
+    the training loop polls, so the loop saves an exact-step snapshot
+    and exits 0. Handlers are installed only in the main thread (signal
+    module restriction) and restored on exit.
+    """
+
+    def __init__(self, enabled: bool = True):
+        self.requested = False
+        self._installed: list[tuple[int, object]] = []
+        if not enabled or threading.current_thread() is not threading.main_thread():
+            return
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev = signal.signal(sig, self._handler)
+                self._installed.append((sig, prev))
+            except (ValueError, OSError):  # non-main thread / exotic env
+                pass
+
+    def _handler(self, signum, frame):
+        LOGGER.warning(
+            "Received signal %d — will checkpoint and exit at the next "
+            "step boundary.", signum,
+        )
+        self.requested = True
+
+    def restore(self):
+        for sig, prev in self._installed:
+            try:
+                signal.signal(sig, prev)
+            except (ValueError, OSError):
+                pass
+        self._installed.clear()
 
 
 def get_git_commit() -> str:
@@ -110,7 +155,22 @@ def train(
     accum_steps=1,
     db_batch_global=False,
     bn_mode="sync",
+    async_checkpoints=True,
+    handle_preemption=True,
+    preempt_after_steps=None,
 ):
+    """See module docstring. TPU-native extras beyond the reference:
+
+    async_checkpoints: hand checkpoint serialization+writes to a
+      background thread (the device→host snapshot stays synchronous —
+      required, since the jitted step donates state buffers).
+    handle_preemption: install SIGTERM/SIGINT handlers that save an
+      exact-step snapshot + preempt.json and exit cleanly; the next
+      --continue-model-dir run resumes mid-epoch at that exact batch
+      (the reference can only resume at epoch boundaries).
+    preempt_after_steps: fault injection — behave as if SIGTERM arrived
+      after N train steps of this run (deterministic preemption tests).
+    """
     if not LOGGER.handlers:
         init_console_logger(LOGGER, verbose=verbose)
         if not disable_logging:
@@ -181,24 +241,33 @@ def train(
             os.makedirs(model_dir, exist_ok=True)
     param_dict["model_dir"] = model_dir
 
-    with open(os.path.join(model_dir, "config.json"), "w") as fd:
-        json.dump(param_dict, fd, indent=2)
+    # Multi-host: one writer. Non-chief processes compute everything
+    # (their devices hold batch shards; collectives need them) but only
+    # process 0 writes run artifacts — the reference is single-process
+    # so every write was implicitly "chief".
+    is_chief = jax.process_index() == 0
+
+    if is_chief:
+        with open(os.path.join(model_dir, "config.json"), "w") as fd:
+            json.dump(param_dict, fd, indent=2)
     # Architecture descriptor (replaces the Keras pickled spec,
     # reference train.py:306-314): everything needed to rebuild.
-    with open(os.path.join(model_dir, "model.json"), "w") as fd:
-        json.dump(
-            {
-                "framework": "l3embedding_tpu",
-                "model_type": model_type,
-                "audio_input_shape": list(spec.audio_input_shape),
-                "video_input_shape": list(spec.video_input_shape),
-                "audio_embedding_pooling": {
-                    k: list(v) for k, v in spec.audio_embedding_pooling.items()
+    if is_chief:
+        with open(os.path.join(model_dir, "model.json"), "w") as fd:
+            json.dump(
+                {
+                    "framework": "l3embedding_tpu",
+                    "model_type": model_type,
+                    "audio_input_shape": list(spec.audio_input_shape),
+                    "video_input_shape": list(spec.video_input_shape),
+                    "audio_embedding_pooling": {
+                        k: list(v)
+                        for k, v in spec.audio_embedding_pooling.items()
+                    },
                 },
-            },
-            fd,
-            indent=2,
-        )
+                fd,
+                indent=2,
+            )
 
     # --- State ---
     mesh = create_mesh() if use_mesh else None
@@ -211,16 +280,34 @@ def train(
     )
 
     initial_epoch = 0
+    resume_step_in_epoch = 0
     best_val_acc = float("-inf")
     best_val_loss = float("inf")
     best_train_acc = float("-inf")
     best_train_loss = float("inf")
     if continue_model_dir is not None:
         hist_path = os.path.join(continue_model_dir, "history_csvlog.csv")
-        last_epoch_idx, last_val_acc, last_val_loss = get_restart_info(hist_path)
-        initial_epoch = last_epoch_idx + 1
-        best_val_acc = last_val_acc
-        best_val_loss = last_val_loss
+        if os.path.exists(hist_path):
+            last_epoch_idx, last_val_acc, last_val_loss = get_restart_info(
+                hist_path
+            )
+            initial_epoch = last_epoch_idx + 1
+            best_val_acc = last_val_acc
+            best_val_loss = last_val_loss
+        preempt_path = os.path.join(continue_model_dir, PREEMPT_FILE)
+        if os.path.exists(preempt_path):
+            # Mid-epoch preemption snapshot: re-enter the interrupted
+            # epoch at the exact next batch (the seeded generator replays
+            # deterministically; start_batch_idx fast-forwards past
+            # everything the saved state already consumed).
+            with open(preempt_path) as f:
+                preempt_info = json.load(f)
+            initial_epoch = int(preempt_info["epoch"])
+            resume_step_in_epoch = int(preempt_info["steps_done_in_epoch"])
+            LOGGER.info(
+                "Found %s: resuming mid-epoch %d at step %d",
+                PREEMPT_FILE, initial_epoch, resume_step_in_epoch,
+            )
         state = checkpoints.load_state(
             os.path.join(continue_model_dir, checkpoints.LATEST), state
         )
@@ -242,15 +329,37 @@ def train(
 
     # --- Data ---
     if continue_model_dir is not None:
-        train_start_batch_idx = train_epoch_size * initial_epoch
+        train_start_batch_idx = (
+            train_epoch_size * initial_epoch + resume_step_in_epoch
+        )
     else:
         train_start_batch_idx = None
 
+    # Multi-host pods: each process streams a disjoint file shard of the
+    # corpus and feeds only its local slice of the global batch;
+    # shard_batch_local assembles the globally-sharded array. On a
+    # single process (incl. v5e-8) this is exactly the reference's
+    # single-stream semantics.
+    proc_count = jax.process_count()
+    proc_index = jax.process_index()
+    if train_batch_size % proc_count:
+        raise ValueError(
+            f"train_batch_size {train_batch_size} not divisible by "
+            f"process_count {proc_count}"
+        )
+    if validation_batch_size % proc_count:
+        raise ValueError(
+            f"validation_batch_size {validation_batch_size} not divisible "
+            f"by process_count {proc_count}"
+        )
+    shard_kwargs = dict(shard_index=proc_index, shard_count=proc_count)
+
     train_gen = data_generator(
         train_data_dir,
-        batch_size=train_batch_size,
+        batch_size=train_batch_size // proc_count,
         random_state=random_state,
         start_batch_idx=train_start_batch_idx,
+        **shard_kwargs,
     )
 
     history = {"acc": [], "loss": [], "val_acc": [], "val_loss": []}
@@ -259,7 +368,7 @@ def train(
     history_checkpoint = os.path.join(model_dir, "history_checkpoint.pkl")
 
     def put(batch):
-        return shard_batch(batch, mesh) if mesh is not None else batch
+        return shard_batch_local(batch, mesh) if mesh is not None else batch
 
     def staged(gen):
         # Device placement inside the pipeline thread: host→device
@@ -274,11 +383,69 @@ def train(
     if profile_remaining > 0:
         jax.profiler.start_trace(os.path.join(model_dir, "profile"))
 
-    with AsyncBatchPipeline(
+    guard = _PreemptionGuard(enabled=handle_preemption)
+    saver = (
+        checkpoints.AsyncCheckpointWriter()
+        if (async_checkpoints and is_chief)
+        else None
+    )
+
+    def save_ckpt(filename):
+        if not is_chief:
+            return
+        path = os.path.join(model_dir, filename)
+        if saver is not None:
+            saver.save(path, state)
+        else:
+            checkpoints.save_state(path, state)
+
+    def save_preempt_snapshot(epoch, steps_done_in_epoch):
+        """Synchronous exact-step snapshot + marker, then drain."""
+        if saver is not None:
+            saver.close()  # drain pending writes first so LATEST is last
+        if is_chief:
+            checkpoints.save_state(
+                os.path.join(model_dir, checkpoints.LATEST), state
+            )
+            with open(os.path.join(model_dir, PREEMPT_FILE), "w") as f:
+                json.dump(
+                    {
+                        "epoch": epoch,
+                        "steps_done_in_epoch": steps_done_in_epoch,
+                        "global_batch_idx": epoch * train_epoch_size
+                        + steps_done_in_epoch,
+                    },
+                    f,
+                )
+        LOGGER.warning(
+            "Preempted: saved %s at epoch %d step %d; rerun with "
+            "--continue-model-dir %s to resume at this exact batch.",
+            checkpoints.LATEST, epoch, steps_done_in_epoch, model_dir,
+        )
+
+    steps_run_total = 0
+    preempted = False
+
+    @contextlib.contextmanager
+    def _training_cleanup():
+        try:
+            yield
+        finally:
+            guard.restore()
+            if saver is not None:
+                # Idempotent: preempted runs already drained the writer
+                # inside the snapshot.
+                saver.close()
+
+    with _training_cleanup(), AsyncBatchPipeline(
         staged(train_gen), prefetch=prefetch_batches
     ) as train_pipe:
         for epoch in range(initial_epoch, num_epochs):
             epoch_start = time.time()
+            epoch_step_offset = (
+                resume_step_in_epoch if epoch == initial_epoch else 0
+            )
+            steps_this_epoch = train_epoch_size - epoch_step_offset
             # Metric accumulation stays ON DEVICE: per-step device_get
             # would serialize host and device every step (the reference's
             # Keras loop pays the same sync, train.py:408-414). The tiny
@@ -292,7 +459,7 @@ def train(
             # since computed) bounds in-flight steps without serializing.
             inflight = collections.deque()
             max_inflight = max(2, 2 * prefetch_batches)
-            for _ in range(train_epoch_size):
+            for step_in_epoch in range(steps_this_epoch):
                 t0 = time.perf_counter()
                 batch = next(train_pipe)
                 state, metrics = train_step(state, batch)
@@ -319,17 +486,37 @@ def train(
                             "Profiler trace written to %s",
                             os.path.join(model_dir, "profile"),
                         )
+                steps_run_total += 1
+                if guard.requested or (
+                    preempt_after_steps is not None
+                    and steps_run_total >= preempt_after_steps
+                ):
+                    # Sync: the async dispatches up to and including this
+                    # step must have executed before the state snapshot.
+                    float(metrics["loss"])
+                    inflight.clear()
+                    save_preempt_snapshot(
+                        epoch, epoch_step_offset + step_in_epoch + 1
+                    )
+                    preempted = True
+                    break
+            if preempted:
+                break
             inflight.clear()
-            tr_loss_mean = float(tr_loss_sum) / train_epoch_size
-            tr_acc_mean = float(tr_acc_sum) / train_epoch_size
+            # Partial first epoch after a mid-epoch resume: means cover
+            # the steps this process actually ran (the pre-preemption
+            # portion's metrics were reported by the preempted run's log).
+            tr_loss_mean = float(tr_loss_sum) / steps_this_epoch
+            tr_acc_mean = float(tr_acc_sum) / steps_this_epoch
 
             # Validation: fresh identically-seeded stream every epoch
             # (reference train.py:198-205, 391-395).
             val_gen = single_epoch_data_generator(
                 validation_data_dir,
                 validation_epoch_size,
-                batch_size=validation_batch_size,
+                batch_size=validation_batch_size // proc_count,
                 random_state=random_state,
+                **shard_kwargs,
             )
             va_loss_sum = va_acc_sum = None
             with AsyncBatchPipeline(
@@ -371,31 +558,37 @@ def train(
             # History artifacts (reference train.py:29-53, 363-365).
             for k in ("acc", "loss", "val_acc", "val_loss"):
                 history[k].append(row[k])
-            _append_history_row(history_csv, row)
-            with open(history_checkpoint, "wb") as fp:
-                pickle.dump(
-                    {"loss": history["loss"], "val_loss": history["val_loss"]}, fp
-                )
+            if is_chief:
+                _append_history_row(history_csv, row)
+                with open(history_checkpoint, "wb") as fp:
+                    pickle.dump(
+                        {
+                            "loss": history["loss"],
+                            "val_loss": history["val_loss"],
+                        },
+                        fp,
+                    )
 
-            # Checkpoint roles (reference train.py:326-355).
-            checkpoints.save_state(os.path.join(model_dir, checkpoints.LATEST), state)
+            # Checkpoint roles (reference train.py:326-355); writes are
+            # serialization+disk on a background thread when
+            # async_checkpoints (the device→host snapshot is taken here,
+            # synchronously — see AsyncCheckpointWriter).
+            save_ckpt(checkpoints.LATEST)
             if row["val_acc"] > best_val_acc:
                 best_val_acc = row["val_acc"]
-                checkpoints.save_state(
-                    os.path.join(model_dir, checkpoints.BEST_VALID_ACC), state
-                )
+                save_ckpt(checkpoints.BEST_VALID_ACC)
             if row["val_loss"] < best_val_loss:
                 best_val_loss = row["val_loss"]
-                checkpoints.save_state(
-                    os.path.join(model_dir, checkpoints.BEST_VALID_LOSS), state
-                )
+                save_ckpt(checkpoints.BEST_VALID_LOSS)
             if (epoch + 1) % checkpoint_interval == 0:
-                checkpoints.save_state(
-                    os.path.join(
-                        model_dir, checkpoints.PERIODIC_FMT.format(epoch=epoch)
-                    ),
-                    state,
-                )
+                save_ckpt(checkpoints.PERIODIC_FMT.format(epoch=epoch))
+
+            # A completed epoch supersedes any mid-epoch snapshot marker
+            # (the history row above now points resume at epoch+1).
+            if is_chief and epoch == initial_epoch and resume_step_in_epoch:
+                preempt_marker = os.path.join(model_dir, PREEMPT_FILE)
+                if os.path.exists(preempt_marker):
+                    os.remove(preempt_marker)
 
             best_train_acc = max(best_train_acc, row["acc"])
             best_train_loss = min(best_train_loss, row["loss"])
@@ -414,10 +607,15 @@ def train(
                 },
             )
 
+    if preempted:
+        LOGGER.info("Exiting cleanly after preemption snapshot.")
+        return model_dir, history
+
     LOGGER.info("Done training. Saving results to disk...")
     history["epoch_times"] = epoch_times
     history["batch_times"] = batch_times
-    with open(os.path.join(model_dir, "history.pkl"), "wb") as fd:
-        pickle.dump(history, fd)
+    if is_chief:
+        with open(os.path.join(model_dir, "history.pkl"), "wb") as fd:
+            pickle.dump(history, fd)
     LOGGER.info("Done!")
     return model_dir, history

@@ -90,3 +90,128 @@ def test_two_process_cpu_cluster(tmp_path):
             f"proc {pid} rc={p.returncode}\nstdout:{out}\nstderr:{err[-2000:]}"
         )
         assert f"proc {pid}: psum=6.0 nprocs=2" in out
+
+
+_DATA_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo_root!r})
+
+    import numpy as np
+    from l3embedding_tpu.parallel.distributed import initialize_distributed
+
+    ok = initialize_distributed(
+        coordinator_address={coord!r}, num_processes=2, process_id={pid},
+    )
+    assert ok
+
+    from l3embedding_tpu.parallel import create_mesh, shard_batch_local
+    from l3embedding_tpu.training.data import data_generator
+
+    # Pod data path: each process streams its own corpus shard and
+    # contributes only its local slice of the global batch.
+    gen = data_generator(
+        {corpus!r}, batch_size=4, random_state=3,
+        shard_index=jax.process_index(),
+        shard_count=jax.process_count(),
+        keys=("audio", "label"),
+    )
+    local = next(gen)
+    mesh = create_mesh()  # all 4 cpu devices on the data axis
+    global_batch = shard_batch_local(local, mesh)
+    # Global shape = per-process batch x process_count.
+    assert global_batch["audio"].shape[0] == 8, global_batch["audio"].shape
+
+    # Every row's fingerprint (constant audio = source file index) must
+    # be visible globally; a psum over per-shard fingerprint sums proves
+    # cross-process assembly. Shard 0 reads files {{0, 2}}, shard 1
+    # reads file {{1}}.
+    import jax.numpy as jnp
+    fp_local = float(np.asarray(local["audio"][:, 0, 0], np.float32).sum())
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    @jax.jit
+    def global_fp(x):
+        def f(xs):
+            return jax.lax.psum(
+                jnp.sum(xs[:, 0, 0].astype(jnp.float32)), "data"
+            )
+        return shard_map(
+            f, mesh=mesh, in_specs=(P("data"),), out_specs=P()
+        )(x)
+
+    total = float(np.asarray(jax.device_get(global_fp(global_batch["audio"]))))
+    print(f"proc {{jax.process_index()}}: local_fp={{fp_local}} "
+          f"global_fp={{total}}")
+    """
+)
+
+
+def test_two_process_sharded_data_pipeline(tmp_path):
+    """Each pod process streams a disjoint corpus shard; shard_batch_local
+    assembles the global batch without any host holding all rows."""
+    import h5py
+    import numpy as np
+
+    corpus = tmp_path / "pod_corpus"
+    os.makedirs(corpus)
+    for i in range(3):
+        with h5py.File(corpus / f"blob_{i}.h5", "w") as f:
+            f.create_dataset("audio", data=np.full((6, 1, 16), i, np.int16))
+            f.create_dataset(
+                "label", data=np.tile([[1.0, 0.0]], (6, 1)).astype(np.float32)
+            )
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        env.pop(k, None)
+
+    procs = []
+    for pid in range(2):
+        code = _DATA_WORKER.format(
+            repo_root=repo_root, coord=coord, pid=pid, corpus=str(corpus)
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", code],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=280) for p in procs]
+    fps = {}
+    for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"proc {pid} rc={p.returncode}\nstdout:{out}\nstderr:{err[-2000:]}"
+        )
+        for line in out.splitlines():
+            if line.startswith(f"proc {pid}:"):
+                parts = dict(
+                    kv.split("=") for kv in line.split(": ")[1].split(" ")
+                )
+                fps[pid] = (
+                    float(parts["local_fp"]), float(parts["global_fp"])
+                )
+    assert set(fps) == {0, 1}
+    # The global fingerprint sum equals the sum of the two local ones,
+    # and both processes agree on it.
+    assert fps[0][1] == fps[1][1] == fps[0][0] + fps[1][0]
+    # Shard 1 reads only file 1 (constant 1): local sum = batch_size.
+    assert fps[1][0] == 4.0

@@ -2,6 +2,7 @@
 (the reference's substitute for integration tests, SURVEY.md §4), plus
 data-generator determinism and checkpoint-resume parity."""
 
+import json
 import os
 import pickle
 
@@ -319,3 +320,194 @@ def test_flattened_optimizer_equivalence():
     flat1 = jax.tree_util.tree_leaves(outs[1])
     for a, b in zip(flat0, flat1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestShardedDataGenerator:
+    """Multi-host corpus sharding: files[shard_index::shard_count] per
+    process, per-shard seed offset (training/data.py)."""
+
+    @pytest.fixture()
+    def fingerprint_corpus(self, tmp_path):
+        # Each blob's audio is a constant = blob index, so any batch row
+        # can be attributed to its source file.
+        d = tmp_path / "shard_corpus"
+        os.makedirs(d)
+        for i in range(3):
+            with h5py.File(d / f"blob_{i}.h5", "w") as f:
+                f.create_dataset(
+                    "audio", data=np.full((6, 1, 48000), i, np.int16)
+                )
+                f.create_dataset(
+                    "video",
+                    data=np.full((6, 224, 224, 3), i, np.uint8),
+                )
+                f.create_dataset(
+                    "label", data=np.tile([[1.0, 0.0]], (6, 1)).astype(np.float32)
+                )
+        return str(d)
+
+    def test_shards_are_disjoint_and_cover(self, fingerprint_corpus):
+        seen = {0: set(), 1: set()}
+        for shard in (0, 1):
+            gen = data_generator(
+                fingerprint_corpus,
+                batch_size=4,
+                random_state=3,
+                shard_index=shard,
+                shard_count=2,
+            )
+            for _ in range(6):
+                batch = next(gen)
+                seen[shard].update(
+                    int(v) for v in batch["audio"][:, 0, 0].tolist()
+                )
+        # sorted files blob_0,1,2 → shard0 = {0,2}, shard1 = {1}
+        assert seen[0] == {0, 2}
+        assert seen[1] == {1}
+
+    def test_shard_determinism_and_fast_forward(self, fingerprint_corpus):
+        kw = dict(batch_size=4, random_state=9, shard_index=0, shard_count=2)
+        a = data_generator(fingerprint_corpus, **kw)
+        b = data_generator(fingerprint_corpus, **kw)
+        batches_a = [next(a) for _ in range(5)]
+        batches_b = [next(b) for _ in range(5)]
+        for x, y in zip(batches_a, batches_b):
+            np.testing.assert_array_equal(x["audio"], y["audio"])
+        ff = data_generator(
+            fingerprint_corpus, start_batch_idx=3, **kw
+        )
+        np.testing.assert_array_equal(
+            next(ff)["audio"], batches_a[3]["audio"]
+        )
+
+    def test_shard_validation(self, fingerprint_corpus):
+        with pytest.raises(ValueError, match="shard_index"):
+            next(data_generator(
+                fingerprint_corpus, shard_index=2, shard_count=2))
+        with pytest.raises(ValueError, match="fewer .h5 files"):
+            next(data_generator(
+                fingerprint_corpus, shard_index=3, shard_count=4))
+
+
+class TestAsyncCheckpointWriter:
+    def _mini_state(self):
+        import jax
+        import jax.numpy as jnp
+
+        from l3embedding_tpu.training.state import AVCTrainState, make_optimizer
+
+        params = {"w": jnp.arange(6.0).reshape(2, 3)}
+        tx = make_optimizer(1e-3)
+        return AVCTrainState(
+            step=jnp.int32(5),
+            params=params,
+            batch_stats={"mean": jnp.ones((3,))},
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+    def test_bytes_identical_to_sync(self, tmp_path):
+        from l3embedding_tpu.training import checkpoints
+
+        state = self._mini_state()
+        sync_path = str(tmp_path / "sync.ckpt")
+        async_path = str(tmp_path / "async.ckpt")
+        checkpoints.save_state(sync_path, state)
+        with checkpoints.AsyncCheckpointWriter() as w:
+            w.save(async_path, state)
+        with open(sync_path, "rb") as f1, open(async_path, "rb") as f2:
+            assert f1.read() == f2.read()
+        # And it round-trips through load_state.
+        restored = checkpoints.load_state(async_path, self._mini_state())
+        assert int(restored.step) == 5
+
+    def test_last_write_wins_in_order(self, tmp_path):
+        from l3embedding_tpu.training import checkpoints
+
+        path = str(tmp_path / "latest.ckpt")
+        s1 = self._mini_state()
+        s2 = s1.replace(step=s1.step + 10)
+        with checkpoints.AsyncCheckpointWriter() as w:
+            w.save(path, s1)
+            w.save(path, s2)
+        restored = checkpoints.load_state(path, self._mini_state())
+        assert int(restored.step) == 15
+
+    def test_write_error_surfaces(self, tmp_path):
+        from l3embedding_tpu.training import checkpoints
+
+        w = checkpoints.AsyncCheckpointWriter()
+        w.save(str(tmp_path / "missing_dir" / "x.ckpt"), self._mini_state())
+        with pytest.raises(OSError):
+            w.close()
+        # close() is idempotent afterwards.
+        w.close()
+
+    def test_save_after_close_raises(self, tmp_path):
+        from l3embedding_tpu.training import checkpoints
+
+        w = checkpoints.AsyncCheckpointWriter()
+        w.close()
+        with pytest.raises(RuntimeError):
+            w.save(str(tmp_path / "x.ckpt"), self._mini_state())
+
+
+class TestPreemptionRecovery:
+    """SIGTERM-style preemption → exact-step snapshot → mid-epoch resume
+    reproduces the uninterrupted run bit-for-bit (training/loop.py)."""
+
+    ARGS = dict(
+        num_epochs=2,
+        train_epoch_size=3,
+        validation_epoch_size=2,
+        train_batch_size=8,
+        validation_batch_size=8,
+        model_type="tiny_L3",
+        random_state=11,
+        learning_rate=1e-4,
+        checkpoint_interval=10,
+        disable_logging=True,
+    )
+
+    def test_preempt_resume_matches_uninterrupted(
+        self, corpus, tmp_path_factory
+    ):
+        from l3embedding_tpu.training.loop import PREEMPT_FILE, train
+
+        train_dir, valid_dir = corpus
+
+        # Reference run: uninterrupted.
+        out_a = str(tmp_path_factory.mktemp("uninterrupted"))
+        dir_a, _ = train(train_dir, valid_dir, out_a, **self.ARGS)
+
+        # Preempted run: injected fault after 4 global steps = mid
+        # epoch 1 (epoch 0 has 3 steps).
+        out_b = str(tmp_path_factory.mktemp("preempted"))
+        dir_b, _ = train(
+            train_dir, valid_dir, out_b,
+            preempt_after_steps=4, **self.ARGS,
+        )
+        marker = os.path.join(dir_b, PREEMPT_FILE)
+        assert os.path.exists(marker)
+        with open(marker) as f:
+            info = json.load(f)
+        assert info == {
+            "epoch": 1, "steps_done_in_epoch": 1, "global_batch_idx": 4,
+        }
+        assert os.path.exists(os.path.join(dir_b, "model_latest.ckpt"))
+
+        # Resume: finishes epoch 1 from step 1 and clears the marker.
+        _, hist = train(
+            train_dir, valid_dir, "unused",
+            continue_model_dir=dir_b, **self.ARGS,
+        )
+        assert not os.path.exists(marker)
+        assert len(hist["loss"]) == 1  # the one completed (resumed) epoch
+
+        with open(os.path.join(dir_a, "model_latest.ckpt"), "rb") as fa:
+            blob_a = fa.read()
+        with open(os.path.join(dir_b, "model_latest.ckpt"), "rb") as fb:
+            blob_b = fb.read()
+        assert blob_a == blob_b, (
+            "resumed final state differs from uninterrupted run"
+        )
