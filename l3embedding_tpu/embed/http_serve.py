@@ -1,0 +1,242 @@
+"""HTTP serving front for the embedding service (stdlib-only).
+
+Turns the in-process micro-batching `EmbeddingService` into a
+deployable endpoint: concurrent requests from any number of clients are
+coalesced into device batches by the service's worker, so one resident
+jitted extractor (optionally mesh-sharded across chips) serves the
+whole host at TPU batch efficiency. The reference has no serving story
+— its closest analog is per-file Keras predict inside the feature loop
+(reference data/usc/features.py:303-306).
+
+Endpoints
+---------
+GET  /healthz
+    → {"status": "ok", "model_type": ..., "pooling": ..., "dim": ...}
+
+POST /v1/embed            (application/json)
+    {"audio": [... float PCM in [-1,1] ...], "sr": 48000, "hop": 0.1}
+    → {"embeddings": [[...], ...], "num_windows": N, "dim": D}
+    Arbitrary-length audio; framed into overlapping 1 s windows exactly
+    like the 05 extraction path (reference features.py:256-306).
+
+POST /v1/embed_windows    (application/octet-stream)
+    Raw little-endian float32, shape (N, 48000) row-major; the
+    X-Num-Windows header carries N.
+    → raw little-endian float32 (N, D); X-Embedding-Dim carries D.
+
+Run: python -m l3embedding_tpu.embed.http_serve MODEL.ckpt \
+         --model-type cnn_L3_melspec2 --pooling short --port 8471
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from .extract import EmbeddingExtractor, frame_uniform
+from .service import EmbeddingService
+
+LOGGER = logging.getLogger("l3embedding_tpu.embed.http")
+
+WINDOW_SAMPLES = 48000
+
+
+class _State:
+    """Shared handler state (BaseHTTPRequestHandler is per-request)."""
+
+    def __init__(self, extractor: EmbeddingExtractor,
+                 service: EmbeddingService):
+        self.extractor = extractor
+        self.service = service
+        dim_probe = extractor.embed_windows(
+            np.zeros((1, WINDOW_SAMPLES), np.float32)
+        )
+        self.dim = int(dim_probe.shape[1])
+
+
+def _resample(audio: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
+    if sr == target_sr:
+        return audio
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(int(target_sr), int(sr))
+    return resample_poly(audio, target_sr // g, sr // g).astype(np.float32)
+
+
+class _Handler(BaseHTTPRequestHandler):
+    state: _State  # set by make_server
+
+    # -- plumbing -----------------------------------------------------
+    def log_message(self, fmt, *args):  # route to our logger, not stderr
+        LOGGER.debug("%s - %s", self.address_string(), fmt % args)
+
+    def _reply_json(self, code: int, obj) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _reply_error(self, code: int, message: str) -> None:
+        self._reply_json(code, {"error": message})
+
+    def _read_body(self) -> bytes:
+        length = int(self.headers.get("Content-Length", 0))
+        if length <= 0:
+            raise ValueError("empty request body")
+        if length > 1 << 30:
+            raise ValueError("request body too large")
+        return self.rfile.read(length)
+
+    # -- endpoints ----------------------------------------------------
+    def do_GET(self):
+        if self.path != "/healthz":
+            return self._reply_error(404, f"unknown path {self.path!r}")
+        st = self.state
+        self._reply_json(200, {
+            "status": "ok",
+            "model_type": st.extractor.model_type,
+            "pooling": st.extractor.pooling_type,
+            "dim": st.dim,
+            "sr": st.extractor.sr,
+        })
+
+    def do_POST(self):
+        try:
+            if self.path == "/v1/embed":
+                return self._embed_json()
+            if self.path == "/v1/embed_windows":
+                return self._embed_windows_raw()
+            return self._reply_error(404, f"unknown path {self.path!r}")
+        except (ValueError, KeyError, json.JSONDecodeError) as e:
+            return self._reply_error(400, str(e))
+        except Exception as e:  # noqa: BLE001 — surface, don't kill thread
+            LOGGER.exception("request failed")
+            return self._reply_error(500, repr(e))
+
+    def _embed_json(self):
+        st = self.state
+        payload = json.loads(self._read_body())
+        audio = np.asarray(payload["audio"], np.float32)
+        if audio.ndim != 1:
+            raise ValueError(f"audio must be 1-D, got shape {audio.shape}")
+        sr = int(payload.get("sr", st.extractor.sr))
+        hop = float(payload.get("hop", 0.1))
+        audio = _resample(audio, sr, st.extractor.sr)
+        windows = frame_uniform(audio, sr=st.extractor.sr, hop_size=hop)
+        emb = st.service.submit(
+            np.ascontiguousarray(windows, np.float32)
+        ).result()
+        self._reply_json(200, {
+            "embeddings": np.asarray(emb, np.float32).tolist(),
+            "num_windows": int(emb.shape[0]),
+            "dim": int(emb.shape[1]),
+        })
+
+    def _embed_windows_raw(self):
+        st = self.state
+        n = int(self.headers.get("X-Num-Windows", 0))
+        if n <= 0:
+            raise ValueError("X-Num-Windows header required and positive")
+        body = self._read_body()
+        expect = n * WINDOW_SAMPLES * 4
+        if len(body) != expect:
+            raise ValueError(
+                f"body is {len(body)} bytes; expected {expect} for "
+                f"{n}x{WINDOW_SAMPLES} float32"
+            )
+        windows = np.frombuffer(body, "<f4").reshape(n, WINDOW_SAMPLES)
+        emb = np.asarray(
+            st.service.submit(windows).result(), np.float32
+        )
+        blob = emb.astype("<f4").tobytes()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Content-Length", str(len(blob)))
+        self.send_header("X-Num-Windows", str(emb.shape[0]))
+        self.send_header("X-Embedding-Dim", str(emb.shape[1]))
+        self.end_headers()
+        self.wfile.write(blob)
+
+
+def make_server(
+    extractor: EmbeddingExtractor,
+    host: str = "127.0.0.1",
+    port: int = 8471,
+    max_batch_size: int = 128,
+    max_latency_ms: float = 5.0,
+) -> ThreadingHTTPServer:
+    """Build (but don't start) the HTTP server around an extractor."""
+    service = EmbeddingService(
+        extractor,
+        max_batch_size=max_batch_size,
+        max_latency_ms=max_latency_ms,
+    )
+    state = _State(extractor, service)
+    handler = type("BoundHandler", (_Handler,), {"state": state})
+    server = ThreadingHTTPServer((host, port), handler)
+    server.l3_service = service  # for shutdown/tests
+    return server
+
+
+def serve_forever_in_thread(server: ThreadingHTTPServer) -> threading.Thread:
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return t
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("weights", nargs="?", default=None,
+                   help=".ckpt weights (omit for random init / smoke)")
+    p.add_argument("--model-type", default="cnn_L3_melspec2")
+    p.add_argument("--pooling", default="short",
+                   choices=["original", "short"])
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8471)
+    p.add_argument("--fast", action="store_true",
+                   help="bf16 tower (~1.3x throughput, cosine>=0.9999)")
+    p.add_argument("--max-batch-size", type=int, default=128)
+    p.add_argument("--max-latency-ms", type=float, default=5.0)
+    p.add_argument("--mesh", action="store_true",
+                   help="shard window batches over all local devices")
+    args = p.parse_args(argv)
+
+    mesh = None
+    if args.mesh:
+        from ..parallel import create_mesh
+
+        mesh = create_mesh()
+    extractor = EmbeddingExtractor(
+        args.weights, args.model_type, args.pooling,
+        fast=args.fast, mesh=mesh,
+    )
+    server = make_server(
+        extractor, args.host, args.port,
+        max_batch_size=args.max_batch_size,
+        max_latency_ms=args.max_latency_ms,
+    )
+    logging.basicConfig(level=logging.INFO)
+    LOGGER.info(
+        "serving %s/%s embeddings on http://%s:%d",
+        args.model_type, args.pooling, args.host, args.port,
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()

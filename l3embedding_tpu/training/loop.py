@@ -76,6 +76,14 @@ class _PreemptionGuard:
                 pass
 
     def _handler(self, signum, frame):
+        if self.requested:
+            # Second signal: the operator (or scheduler) insists — fall
+            # back to the previous disposition (default: terminate).
+            # Also bounds the blast radius if an early exception ever
+            # skipped restore(): the handler de-installs itself here.
+            self.restore()
+            signal.raise_signal(signum)
+            return
         LOGGER.warning(
             "Received signal %d — will checkpoint and exit at the next "
             "step boundary.", signum,
@@ -176,6 +184,12 @@ def train(
         if not disable_logging:
             init_file_logger(LOGGER, log_path=log_path)
     LOGGER.debug("Initialized logging.")
+
+    # Install the preemption handler FIRST: a SIGTERM that lands during
+    # model build / first compile (minutes on a cold cache) must already
+    # be converted into the checkpoint-at-next-step-boundary flag, not
+    # the default kill.
+    guard = _PreemptionGuard(enabled=handle_preemption)
 
     # Model id from data dir name (reference train.py:231-234).
     data_subset_name = os.path.basename(os.path.normpath(train_data_dir))
@@ -383,7 +397,6 @@ def train(
     if profile_remaining > 0:
         jax.profiler.start_trace(os.path.join(model_dir, "profile"))
 
-    guard = _PreemptionGuard(enabled=handle_preemption)
     saver = (
         checkpoints.AsyncCheckpointWriter()
         if (async_checkpoints and is_chief)

@@ -162,3 +162,147 @@ def test_extractor_sharded_over_mesh():
     b = sharded.embed_windows(windows)
     assert a.shape == b.shape == (20, a.shape[1])
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+class TestHTTPServing:
+    """stdlib HTTP front over the micro-batching service
+    (embed/http_serve.py)."""
+
+    @pytest.fixture(scope="class")
+    def server(self):
+        from l3embedding_tpu.embed.http_serve import (
+            make_server,
+            serve_forever_in_thread,
+        )
+
+        ex = EmbeddingExtractor(None, "tiny_L3", "original")
+        srv = make_server(ex, host="127.0.0.1", port=0, max_latency_ms=20)
+        serve_forever_in_thread(srv)
+        yield srv, ex
+        srv.shutdown()
+        srv.l3_service.close()
+
+    def _url(self, srv, path):
+        host, port = srv.server_address
+        return f"http://{host}:{port}{path}"
+
+    def test_healthz(self, server):
+        import json
+        import urllib.request
+
+        srv, _ = server
+        with urllib.request.urlopen(self._url(srv, "/healthz")) as r:
+            body = json.load(r)
+        assert body["status"] == "ok"
+        assert body["model_type"] == "tiny_L3"
+        assert body["dim"] == 350
+        assert body["sr"] == 48000
+
+    def test_embed_json_matches_direct(self, server):
+        import json
+        import urllib.request
+
+        srv, ex = server
+        rng = np.random.RandomState(7)
+        audio = (rng.randn(48000 * 2) * 0.1).astype(np.float32)
+        req = urllib.request.Request(
+            self._url(srv, "/v1/embed"),
+            data=json.dumps(
+                {"audio": audio.tolist(), "hop": 0.5}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req) as r:
+            body = json.load(r)
+        got = np.asarray(body["embeddings"], np.float32)
+
+        from l3embedding_tpu.embed.extract import frame_uniform
+
+        direct = ex.embed_windows(frame_uniform(audio, hop_size=0.5))
+        assert body["dim"] == direct.shape[1]
+        assert got.shape == direct.shape
+        np.testing.assert_allclose(got, direct, rtol=1e-4, atol=1e-5)
+
+    def test_embed_windows_raw_roundtrip(self, server):
+        import urllib.request
+
+        srv, ex = server
+        rng = np.random.RandomState(8)
+        w = (rng.randn(3, 48000) * 0.1).astype(np.float32)
+        req = urllib.request.Request(
+            self._url(srv, "/v1/embed_windows"),
+            data=w.astype("<f4").tobytes(),
+            headers={
+                "Content-Type": "application/octet-stream",
+                "X-Num-Windows": "3",
+            },
+        )
+        with urllib.request.urlopen(req) as r:
+            dim = int(r.headers["X-Embedding-Dim"])
+            blob = r.read()
+        got = np.frombuffer(blob, "<f4").reshape(3, dim)
+        direct = ex.embed_windows(w)
+        np.testing.assert_allclose(got, direct, rtol=1e-5, atol=1e-6)
+
+    def test_concurrent_http_clients(self, server):
+        import json
+        import urllib.request
+
+        srv, ex = server
+        rng = np.random.RandomState(9)
+        audios = [(rng.randn(48000) * 0.1).astype(np.float32)
+                  for _ in range(6)]
+        results = [None] * len(audios)
+
+        def worker(i):
+            req = urllib.request.Request(
+                self._url(srv, "/v1/embed"),
+                data=json.dumps({"audio": audios[i].tolist()}).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req) as r:
+                results[i] = np.asarray(
+                    json.load(r)["embeddings"], np.float32
+                )
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(audios))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        for i, audio in enumerate(audios):
+            from l3embedding_tpu.embed.extract import frame_uniform
+
+            direct = ex.embed_windows(frame_uniform(audio))
+            np.testing.assert_allclose(
+                results[i], direct, rtol=1e-4, atol=1e-5
+            )
+
+    def test_error_paths(self, server):
+        import urllib.error
+        import urllib.request
+
+        srv, _ = server
+        # Bad JSON → 400 with an error body, not a dead thread.
+        req = urllib.request.Request(
+            self._url(srv, "/v1/embed"),
+            data=b"{not json",
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+        # Wrong byte count on the raw endpoint.
+        req = urllib.request.Request(
+            self._url(srv, "/v1/embed_windows"),
+            data=b"\x00" * 16,
+            headers={"X-Num-Windows": "2"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+        # Unknown path → 404.
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(self._url(srv, "/nope"))
+        assert ei.value.code == 404

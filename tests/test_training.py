@@ -511,3 +511,73 @@ class TestPreemptionRecovery:
         assert blob_a == blob_b, (
             "resumed final state differs from uninterrupted run"
         )
+
+
+def test_sigterm_preemption_e2e(corpus, tmp_path):
+    """Real-signal path: SIGTERM to a running `03` process produces an
+    exact-step snapshot + preempt.json and a CLEAN exit (rc 0) — the
+    cloud-preemption contract (training/loop._PreemptionGuard)."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    train_dir, valid_dir = corpus
+    out = str(tmp_path / "runs")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Force the CPU backend inside the subprocess: this image's
+    # sitecustomize re-pins JAX_PLATFORMS at interpreter start, so the
+    # env var alone is not enough (same recipe as __graft_entry__'s
+    # virtual-mesh re-exec).
+    cli = os.path.join(repo_root, "03_train_embedding.py")
+    wrapper = (
+        "import os, sys, runpy; "
+        "os.environ['JAX_PLATFORMS'] = 'cpu'; "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        f"sys.argv[0] = {cli!r}; runpy.run_path({cli!r}, run_name='__main__')"
+    )
+    proc = subprocess.Popen(
+        [
+            sys.executable, "-c", wrapper,
+            "-e", "50", "-tes", "3", "-ves", "2", "-tbs", "8", "-vbs", "8",
+            "-mt", "tiny_L3", "-r", "11", "-nl",
+            train_dir, valid_dir, out,
+        ],
+        cwd=repo_root,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    # Wait for the run dir (created before training starts), then give
+    # the loop time to enter its first steps before signalling.
+    deadline = time.time() + 240
+    model_dir = None
+    try:
+        while time.time() < deadline and model_dir is None:
+            if proc.poll() is not None:
+                break
+            for root, _, files in os.walk(out):
+                if "config.json" in files:
+                    model_dir = root
+                    break
+            time.sleep(0.5)
+        assert model_dir, "run dir never appeared"
+        time.sleep(10)  # let the first train steps dispatch
+        assert proc.poll() is None, "training exited before the signal"
+        proc.send_signal(signal.SIGTERM)
+        out_text, _ = proc.communicate(timeout=240)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate()
+
+    assert proc.returncode == 0, f"rc={proc.returncode}\n{out_text[-3000:]}"
+    from l3embedding_tpu.training.loop import PREEMPT_FILE
+
+    assert os.path.exists(os.path.join(model_dir, PREEMPT_FILE)), (
+        out_text[-3000:]
+    )
+    assert os.path.exists(os.path.join(model_dir, "model_latest.ckpt"))
+    with open(os.path.join(model_dir, PREEMPT_FILE)) as f:
+        info = json.load(f)
+    assert info["steps_done_in_epoch"] >= 1
