@@ -58,15 +58,6 @@ class _State:
         self.dim = int(dim_probe.shape[1])
 
 
-def _resample(audio: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
-    if sr == target_sr:
-        return audio
-    from math import gcd
-
-    from scipy.signal import resample_poly
-
-    g = gcd(int(target_sr), int(sr))
-    return resample_poly(audio, target_sr // g, sr // g).astype(np.float32)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -129,7 +120,18 @@ class _Handler(BaseHTTPRequestHandler):
             raise ValueError(f"audio must be 1-D, got shape {audio.shape}")
         sr = int(payload.get("sr", st.extractor.sr))
         hop = float(payload.get("hop", 0.1))
-        audio = _resample(audio, sr, st.extractor.sr)
+        if sr <= 0:
+            raise ValueError(f"sr must be positive, got {sr}")
+        if not 0 < hop * st.extractor.sr:
+            raise ValueError(f"hop must be positive seconds, got {hop}")
+        if int(hop * st.extractor.sr) < 1:
+            raise ValueError(f"hop {hop}s is below one sample at "
+                             f"{st.extractor.sr} Hz")
+        # Same polyphase resampler as the extraction/VGGish paths —
+        # serving must not drift from the 05 pipeline (data/audio_io.py).
+        from ..data.audio_io import resample
+
+        audio = resample(audio, sr, st.extractor.sr).astype(np.float32)
         windows = frame_uniform(audio, sr=st.extractor.sr, hop_size=hop)
         emb = st.service.submit(
             np.ascontiguousarray(windows, np.float32)

@@ -74,13 +74,18 @@ class AsyncCheckpointWriter:
     def _worker(self):
         while True:
             item = self._q.get()
-            if item is None:
-                return
-            path, host_tree = item
             try:
-                _write_atomic(path, flax.serialization.to_bytes(host_tree))
-            except BaseException as e:  # surfaced on next save/close
-                self._exc = e
+                if item is None:
+                    return
+                path, host_tree = item
+                try:
+                    _write_atomic(
+                        path, flax.serialization.to_bytes(host_tree)
+                    )
+                except BaseException as e:  # surfaced on next save/close
+                    self._exc = e
+            finally:
+                self._q.task_done()
 
     def _check(self):
         if self._exc is not None:
@@ -95,6 +100,19 @@ class AsyncCheckpointWriter:
         # encode+write. np.asarray also decouples the snapshot from any
         # later in-place mutation of host-side leaves.
         self._q.put((path, _to_host(_state_payload(state))))
+
+    def flush(self) -> None:
+        """Block until every enqueued write is durably on disk.
+
+        Call before publishing metadata that implies the checkpoint
+        exists (e.g. the epoch's history row, removing preempt.json):
+        resume reads `last history epoch` and loads model_latest.ckpt,
+        so the row must never be visible while the matching LATEST write
+        is still queued — a hard kill in that window would otherwise
+        leave metadata pointing past the state on disk.
+        """
+        self._q.join()
+        self._check()
 
     def close(self) -> None:
         if self._closed:

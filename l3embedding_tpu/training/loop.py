@@ -99,6 +99,59 @@ class _PreemptionGuard:
         self._installed.clear()
 
 
+class _PreemptionSync:
+    """Turns the process-local preemption flag into a decision every
+    process takes at the SAME loop iteration.
+
+    On a pod, SIGTERM delivery skew means one process's guard can flip
+    before its step-K poll while another's flips after: breaking on the
+    local flag alone would leave the late process blocked inside the
+    next step's gradient psum forever (its peer never arrives), so no
+    snapshot gets written at all. Instead every poll contributes the
+    local flag to a one-element cross-device max (a jitted reduction
+    over a ('data','model')-sharded array — XLA lowers it to an
+    all-reduce), and the result is read back with a fixed lag, exactly
+    like the loop's metric backpressure: by the time a value is popped
+    it has long been computed, so the host sync is free, and because
+    the collective gives every process the identical value sequence,
+    all processes observe the first positive flag at the same poll
+    index and break together. Single-process runs skip all of it and
+    read the guard directly.
+    """
+
+    def __init__(self, guard, mesh, lag: int):
+        self.guard = guard
+        self.lag = max(1, lag)
+        self._pending: collections.deque = collections.deque()
+        self._mesh = None
+        if mesh is not None and jax.process_count() > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._mesh = mesh
+            self._sharding = NamedSharding(
+                mesh, PartitionSpec(("data", "model"))
+            )
+            self._reduce = jax.jit(
+                jax.numpy.max,
+                out_shardings=NamedSharding(mesh, PartitionSpec()),
+            )
+            self._local = jax.local_device_count()
+
+    def poll(self) -> bool:
+        """Call at every train/eval step; True means stop NOW (all
+        processes return True at the same call index)."""
+        if self._mesh is None:
+            return self.guard.requested
+        flag = np.full(
+            (self._local,), 1.0 if self.guard.requested else 0.0, np.float32
+        )
+        arr = jax.make_array_from_process_local_data(self._sharding, flag)
+        self._pending.append(self._reduce(arr))
+        if len(self._pending) > self.lag:
+            return bool(float(self._pending.popleft()) > 0.0)
+        return False
+
+
 def get_git_commit() -> str:
     try:
         return (
@@ -318,6 +371,18 @@ def train(
                 preempt_info = json.load(f)
             initial_epoch = int(preempt_info["epoch"])
             resume_step_in_epoch = int(preempt_info["steps_done_in_epoch"])
+            # steps_done is a PER-PROCESS batch count over a
+            # process-count-specific shard layout: resuming on a
+            # different topology would silently replay/skip samples.
+            saved_procs = int(preempt_info.get("process_count", 1))
+            if saved_procs != jax.process_count():
+                raise ValueError(
+                    f"{PREEMPT_FILE} was written by a {saved_procs}-process"
+                    f" run; resuming on {jax.process_count()} processes "
+                    "would misalign the per-shard data fast-forward. "
+                    "Resume on the same process count (or complete the "
+                    "epoch there first)."
+                )
             LOGGER.info(
                 "Found %s: resuming mid-epoch %d at step %d",
                 PREEMPT_FILE, initial_epoch, resume_step_in_epoch,
@@ -427,6 +492,9 @@ def train(
                         "steps_done_in_epoch": steps_done_in_epoch,
                         "global_batch_idx": epoch * train_epoch_size
                         + steps_done_in_epoch,
+                        "process_count": proc_count,
+                        "per_process_batch_size": train_batch_size
+                        // proc_count,
                     },
                     f,
                 )
@@ -438,6 +506,7 @@ def train(
 
     steps_run_total = 0
     preempted = False
+    psync = _PreemptionSync(guard, mesh, lag=max(2, 2 * prefetch_batches))
 
     @contextlib.contextmanager
     def _training_cleanup():
@@ -500,7 +569,7 @@ def train(
                             os.path.join(model_dir, "profile"),
                         )
                 steps_run_total += 1
-                if guard.requested or (
+                if psync.poll() or (
                     preempt_after_steps is not None
                     and steps_run_total >= preempt_after_steps
                 ):
@@ -518,12 +587,25 @@ def train(
             inflight.clear()
             # Partial first epoch after a mid-epoch resume: means cover
             # the steps this process actually ran (the pre-preemption
-            # portion's metrics were reported by the preempted run's log).
-            tr_loss_mean = float(tr_loss_sum) / steps_this_epoch
-            tr_acc_mean = float(tr_acc_sum) / steps_this_epoch
+            # portion's metrics were reported by the preempted run's
+            # log). A preemption that landed exactly on the epoch's last
+            # step (or during validation) leaves zero train steps on
+            # resume: the train metrics for that epoch's row are then
+            # unrecoverable — record NaN rather than crash or fake them.
+            if steps_this_epoch > 0:
+                tr_loss_mean = float(tr_loss_sum) / steps_this_epoch
+                tr_acc_mean = float(tr_acc_sum) / steps_this_epoch
+            else:
+                tr_loss_mean = tr_acc_mean = float("nan")
 
             # Validation: fresh identically-seeded stream every epoch
-            # (reference train.py:198-205, 391-395).
+            # (reference train.py:198-205, 391-395). The preemption flag
+            # is polled here too: the default recipe spends ~half its
+            # wall time validating, and a grace window missed there
+            # would lose the whole epoch. steps_done == train_epoch_size
+            # marks "train phase complete, validation pending" — resume
+            # re-enters the epoch with zero train steps and re-runs
+            # validation from scratch.
             val_gen = single_epoch_data_generator(
                 validation_data_dir,
                 validation_epoch_size,
@@ -543,6 +625,13 @@ def train(
                     else:
                         va_loss_sum = va_loss_sum + metrics["loss"]
                         va_acc_sum = va_acc_sum + metrics["acc"]
+                    if psync.poll():
+                        float(metrics["loss"])
+                        save_preempt_snapshot(epoch, train_epoch_size)
+                        preempted = True
+                        break
+            if preempted:
+                break
             va_loss_mean = float(va_loss_sum) / validation_epoch_size
             va_acc_mean = float(va_acc_sum) / validation_epoch_size
 
@@ -568,20 +657,6 @@ def train(
                 train_epoch_size * train_batch_size / max(epoch_time, 1e-9),
             )
 
-            # History artifacts (reference train.py:29-53, 363-365).
-            for k in ("acc", "loss", "val_acc", "val_loss"):
-                history[k].append(row[k])
-            if is_chief:
-                _append_history_row(history_csv, row)
-                with open(history_checkpoint, "wb") as fp:
-                    pickle.dump(
-                        {
-                            "loss": history["loss"],
-                            "val_loss": history["val_loss"],
-                        },
-                        fp,
-                    )
-
             # Checkpoint roles (reference train.py:326-355); writes are
             # serialization+disk on a background thread when
             # async_checkpoints (the device→host snapshot is taken here,
@@ -595,6 +670,30 @@ def train(
                 save_ckpt(checkpoints.BEST_VALID_LOSS)
             if (epoch + 1) % checkpoint_interval == 0:
                 save_ckpt(checkpoints.PERIODIC_FMT.format(epoch=epoch))
+            if saver is not None:
+                # Durability barrier: the history row (and the removal of
+                # any preempt marker below) is resume metadata implying
+                # "LATEST holds end-of-epoch state" — it must never hit
+                # disk while that write is still queued, or a hard kill
+                # in the window leaves resume pointing past the state.
+                # The worker's encode+write of each role overlaps the
+                # device→host snapshot fetch of the next; this wait is
+                # only the tail of the last file.
+                saver.flush()
+
+            # History artifacts (reference train.py:29-53, 363-365).
+            for k in ("acc", "loss", "val_acc", "val_loss"):
+                history[k].append(row[k])
+            if is_chief:
+                _append_history_row(history_csv, row)
+                with open(history_checkpoint, "wb") as fp:
+                    pickle.dump(
+                        {
+                            "loss": history["loss"],
+                            "val_loss": history["val_loss"],
+                        },
+                        fp,
+                    )
 
             # A completed epoch supersedes any mid-epoch snapshot marker
             # (the history row above now points resume at epoch+1).

@@ -491,9 +491,10 @@ class TestPreemptionRecovery:
         assert os.path.exists(marker)
         with open(marker) as f:
             info = json.load(f)
-        assert info == {
-            "epoch": 1, "steps_done_in_epoch": 1, "global_batch_idx": 4,
-        }
+        assert info["epoch"] == 1
+        assert info["steps_done_in_epoch"] == 1
+        assert info["global_batch_idx"] == 4
+        assert info["process_count"] == 1
         assert os.path.exists(os.path.join(dir_b, "model_latest.ckpt"))
 
         # Resume: finishes epoch 1 from step 1 and clears the marker.
@@ -581,3 +582,84 @@ def test_sigterm_preemption_e2e(corpus, tmp_path):
     with open(os.path.join(model_dir, PREEMPT_FILE)) as f:
         info = json.load(f)
     assert info["steps_done_in_epoch"] >= 1
+
+
+def test_preempt_on_epoch_boundary_resumes(corpus, tmp_path_factory):
+    """Preemption on an epoch's LAST train step (steps_done ==
+    train_epoch_size) must resume cleanly: the epoch re-enters with zero
+    train steps, re-runs validation, records NaN train metrics for the
+    unrecoverable row, and ends byte-identical to an uninterrupted run."""
+    import csv
+    import math
+
+    from l3embedding_tpu.training.loop import PREEMPT_FILE, train
+
+    train_dir, valid_dir = corpus
+    args = dict(TestPreemptionRecovery.ARGS)
+
+    out_a = str(tmp_path_factory.mktemp("boundary_ref"))
+    dir_a, _ = train(train_dir, valid_dir, out_a, **args)
+
+    out_b = str(tmp_path_factory.mktemp("boundary_pre"))
+    dir_b, _ = train(
+        train_dir, valid_dir, out_b, preempt_after_steps=3, **args
+    )
+    with open(os.path.join(dir_b, PREEMPT_FILE)) as f:
+        info = json.load(f)
+    assert info["epoch"] == 0
+    assert info["steps_done_in_epoch"] == 3  # == train_epoch_size
+    assert info["process_count"] == 1
+
+    _, hist = train(
+        train_dir, valid_dir, "unused", continue_model_dir=dir_b, **args
+    )
+    assert not os.path.exists(os.path.join(dir_b, PREEMPT_FILE))
+    with open(os.path.join(dir_b, "history_csvlog.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert [int(r["epoch"]) for r in rows] == [0, 1]
+    # Epoch 0's train metrics were lost to the preemption: NaN, not fake.
+    assert math.isnan(float(rows[0]["acc"]))
+    assert math.isnan(float(rows[0]["loss"]))
+    assert not math.isnan(float(rows[0]["val_acc"]))
+    assert not math.isnan(float(rows[1]["acc"]))
+
+    with open(os.path.join(dir_a, "model_latest.ckpt"), "rb") as fa, \
+            open(os.path.join(dir_b, "model_latest.ckpt"), "rb") as fb:
+        assert fa.read() == fb.read()
+
+
+def test_preempt_process_count_mismatch_rejected(corpus, tmp_path_factory):
+    from l3embedding_tpu.training.loop import PREEMPT_FILE, train
+
+    train_dir, valid_dir = corpus
+    args = dict(TestPreemptionRecovery.ARGS)
+    out = str(tmp_path_factory.mktemp("pc_mismatch"))
+    model_dir, _ = train(
+        train_dir, valid_dir, out, preempt_after_steps=2, **args
+    )
+    marker = os.path.join(model_dir, PREEMPT_FILE)
+    with open(marker) as f:
+        info = json.load(f)
+    info["process_count"] = 4
+    with open(marker, "w") as f:
+        json.dump(info, f)
+    with pytest.raises(ValueError, match="4-process"):
+        train(
+            train_dir, valid_dir, "unused",
+            continue_model_dir=model_dir, **args,
+        )
+
+
+def test_async_writer_flush_is_durable(tmp_path):
+    from l3embedding_tpu.training import checkpoints
+
+    state = TestAsyncCheckpointWriter()._mini_state()
+    path = str(tmp_path / "latest.ckpt")
+    with checkpoints.AsyncCheckpointWriter() as w:
+        w.save(path, state)
+        w.flush()
+        assert os.path.exists(path)  # durable BEFORE close
+        restored = checkpoints.load_state(
+            path, TestAsyncCheckpointWriter()._mini_state()
+        )
+        assert int(restored.step) == 5
