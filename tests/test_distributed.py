@@ -215,3 +215,88 @@ def test_two_process_sharded_data_pipeline(tmp_path):
     assert fps[0][1] == fps[1][1] == fps[0][0] + fps[1][0]
     # Shard 1 reads only file 1 (constant 1): local sum = batch_size.
     assert fps[1][0] == 4.0
+
+
+_PSYNC_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo_root!r})
+
+    from l3embedding_tpu.parallel.distributed import initialize_distributed
+
+    assert initialize_distributed(
+        coordinator_address={coord!r}, num_processes=2, process_id={pid},
+    )
+
+    from l3embedding_tpu.parallel import create_mesh
+    from l3embedding_tpu.training.loop import _PreemptionSync
+
+    class FakeGuard:
+        requested = False
+
+    guard = FakeGuard()
+    mesh = create_mesh()
+    psync = _PreemptionSync(guard, mesh, lag=3)
+
+    # Simulate skewed SIGTERM delivery: ONLY process 0's local flag ever
+    # flips (at poll 10). Process 1 must still stop, and both must stop
+    # at the SAME poll index (the collective gives every process the
+    # identical global-flag sequence).
+    break_at = None
+    for k in range(50):
+        if {pid} == 0 and k == 10:
+            guard.requested = True
+        if psync.poll():
+            break_at = k
+            break
+    print(f"proc {pid}: break_at={{break_at}}")
+    assert break_at is not None, "never stopped"
+    # flag contributed at poll 10, read back lag polls later
+    assert break_at == 13, break_at
+    """
+)
+
+
+def test_preemption_sync_rank_agreement(tmp_path):
+    """One rank's SIGTERM must stop ALL ranks at the same poll index —
+    otherwise a straggler blocks forever in the next step's collective
+    (loop._PreemptionSync)."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES", "JAX_PROCESS_ID"):
+        env.pop(k, None)
+
+    procs = []
+    for pid in range(2):
+        code = _PSYNC_WORKER.format(repo_root=repo_root, coord=coord, pid=pid)
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", code],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=280) for p in procs]
+    indices = []
+    for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"proc {pid} rc={p.returncode}\nstdout:{out}\nstderr:{err[-2000:]}"
+        )
+        for line in out.splitlines():
+            if line.startswith(f"proc {pid}: break_at="):
+                indices.append(int(line.split("=")[1]))
+    assert indices == [13, 13]
