@@ -50,22 +50,25 @@ def main():
     with urllib.request.urlopen(f"{base}/healthz") as r:
         print("healthz:", json.load(r))
 
-    rng = np.random.RandomState(0)
     results = [None] * args.clients
 
     def client(i):
+        rng = np.random.RandomState(i)  # RandomState is not thread-safe
         shapes = []
-        for _ in range(args.clips_per_client):
-            audio = (rng.randn(48000 * 2) * 0.1).astype(np.float32)
-            req = urllib.request.Request(
-                f"{base}/v1/embed",
-                data=json.dumps({"audio": audio.tolist()}).encode(),
-                headers={"Content-Type": "application/json"},
-            )
-            with urllib.request.urlopen(req) as r:
-                body = json.load(r)
-            shapes.append((body["num_windows"], body["dim"]))
-        results[i] = shapes
+        try:
+            for _ in range(args.clips_per_client):
+                audio = (rng.randn(48000 * 2) * 0.1).astype(np.float32)
+                req = urllib.request.Request(
+                    f"{base}/v1/embed",
+                    data=json.dumps({"audio": audio.tolist()}).encode(),
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req) as r:
+                    body = json.load(r)
+                shapes.append((body["num_windows"], body["dim"]))
+            results[i] = shapes
+        except Exception as e:  # noqa: BLE001 — report, don't mask
+            results[i] = e
 
     t0 = time.perf_counter()
     threads = [
@@ -78,7 +81,13 @@ def main():
         t.join()
     dt = time.perf_counter() - t0
 
-    total_windows = sum(n for shapes in results for n, _ in shapes)
+    failures = [
+        (i, r) for i, r in enumerate(results) if not isinstance(r, list)
+    ]
+    for i, err in failures:
+        print(f"  client {i} FAILED: {err!r}")
+    ok = [r for r in results if isinstance(r, list)]
+    total_windows = sum(n for shapes in ok for n, _ in shapes)
     print(
         f"{args.clients} concurrent clients x {args.clips_per_client} "
         f"2s clips -> {total_windows} windows in {dt:.2f}s "
@@ -86,10 +95,13 @@ def main():
         "micro-batching)"
     )
     for i, shapes in enumerate(results):
-        print(f"  client {i}: embeddings {shapes}")
+        if isinstance(shapes, list):
+            print(f"  client {i}: embeddings {shapes}")
 
     server.shutdown()
     server.l3_service.close()
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -42,8 +42,6 @@ from .service import EmbeddingService
 
 LOGGER = logging.getLogger("l3embedding_tpu.embed.http")
 
-WINDOW_SAMPLES = 48000
-
 
 class _State:
     """Shared handler state (BaseHTTPRequestHandler is per-request)."""
@@ -52,8 +50,12 @@ class _State:
                  service: EmbeddingService):
         self.extractor = extractor
         self.service = service
+        # 1-second windows at the extractor's sample rate (frame_uniform
+        # frames to sr*1) — NOT a hard-coded 48000, so an extractor
+        # built for another rate serves correctly-sized windows.
+        self.window_samples = int(extractor.sr)
         dim_probe = extractor.embed_windows(
-            np.zeros((1, WINDOW_SAMPLES), np.float32)
+            np.zeros((1, self.window_samples), np.float32)
         )
         self.dim = int(dim_probe.shape[1])
 
@@ -122,9 +124,7 @@ class _Handler(BaseHTTPRequestHandler):
         hop = float(payload.get("hop", 0.1))
         if sr <= 0:
             raise ValueError(f"sr must be positive, got {sr}")
-        if not 0 < hop * st.extractor.sr:
-            raise ValueError(f"hop must be positive seconds, got {hop}")
-        if int(hop * st.extractor.sr) < 1:
+        if not int(hop * st.extractor.sr) >= 1:  # also rejects NaN
             raise ValueError(f"hop {hop}s is below one sample at "
                              f"{st.extractor.sr} Hz")
         # Same polyphase resampler as the extraction/VGGish paths —
@@ -148,13 +148,14 @@ class _Handler(BaseHTTPRequestHandler):
         if n <= 0:
             raise ValueError("X-Num-Windows header required and positive")
         body = self._read_body()
-        expect = n * WINDOW_SAMPLES * 4
+        win = st.window_samples
+        expect = n * win * 4
         if len(body) != expect:
             raise ValueError(
                 f"body is {len(body)} bytes; expected {expect} for "
-                f"{n}x{WINDOW_SAMPLES} float32"
+                f"{n}x{win} float32"
             )
-        windows = np.frombuffer(body, "<f4").reshape(n, WINDOW_SAMPLES)
+        windows = np.frombuffer(body, "<f4").reshape(n, win)
         emb = np.asarray(
             st.service.submit(windows).result(), np.float32
         )

@@ -38,10 +38,14 @@ class EmbeddingService:
 
     def submit(self, windows: np.ndarray) -> Future:
         """(N, 48000) float32 windows → Future[(N, dim) embeddings]."""
+        if self._stop.is_set():
+            fut: Future = Future()
+            fut.set_exception(RuntimeError("EmbeddingService is closed"))
+            return fut
         windows = np.ascontiguousarray(windows, dtype=np.float32)
         if windows.ndim == 1:
             windows = windows[None, :]
-        fut: Future = Future()
+        fut = Future()
         self._q.put((windows, fut))
         return fut
 
@@ -86,6 +90,19 @@ class EmbeddingService:
     def close(self):
         self._stop.set()
         self._worker.join(timeout=2)
+        # Fail any requests still queued (enqueued just before close, or
+        # orphaned by a dead worker): their callers are blocked in
+        # Future.result() and would otherwise hang forever.
+        while True:
+            try:
+                _, fut = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if not fut.done():
+                fut.set_exception(
+                    RuntimeError("EmbeddingService closed before serving "
+                                 "this request")
+                )
 
     def __enter__(self):
         return self

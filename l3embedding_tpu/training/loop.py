@@ -232,17 +232,60 @@ def train(
     preempt_after_steps: fault injection — behave as if SIGTERM arrived
       after N train steps of this run (deterministic preemption tests).
     """
+    params = dict(locals())  # exactly the call arguments — nothing else yet
+    # Handlers are installed before ANY other work and restored on every
+    # exit path: an exception during setup (bad preempt.json, missing
+    # checkpoint, batch-divisibility error) must not leave SIGTERM/SIGINT
+    # pointing at a flag nothing polls. A SIGTERM landing during model
+    # build / first compile (minutes on a cold cache) is converted into
+    # the checkpoint-at-next-step-boundary flag, not the default kill.
+    guard = _PreemptionGuard(enabled=handle_preemption)
+    try:
+        return _train_impl(guard=guard, **params)
+    finally:
+        guard.restore()
+
+
+def _train_impl(
+    guard,
+    train_data_dir,
+    validation_data_dir,
+    output_dir,
+    num_epochs=150,
+    train_epoch_size=512,
+    validation_epoch_size=1024,
+    train_batch_size=64,
+    validation_batch_size=64,
+    model_type="cnn_L3_orig",
+    random_state=20180123,
+    learning_rate=1e-4,
+    verbose=False,
+    checkpoint_interval=10,
+    log_path=None,
+    disable_logging=False,
+    gpus=1,
+    continue_model_dir=None,
+    gsheet_id=None,
+    google_dev_app_name=None,
+    # TPU-native extras (additive; defaults preserve reference behavior)
+    prefetch_batches=4,
+    use_mesh=True,
+    profile_steps=0,
+    compute_dtype="float32",
+    accum_steps=1,
+    db_batch_global=False,
+    bn_mode="sync",
+    async_checkpoints=True,
+    handle_preemption=True,
+    preempt_after_steps=None,
+):
+    """Body of train(); `guard` is owned (installed/restored) by the
+    train() wrapper so signal handlers never outlive the call."""
     if not LOGGER.handlers:
         init_console_logger(LOGGER, verbose=verbose)
         if not disable_logging:
             init_file_logger(LOGGER, log_path=log_path)
     LOGGER.debug("Initialized logging.")
-
-    # Install the preemption handler FIRST: a SIGTERM that lands during
-    # model build / first compile (minutes on a cold cache) must already
-    # be converted into the checkpoint-at-next-step-boundary flag, not
-    # the default kill.
-    guard = _PreemptionGuard(enabled=handle_preemption)
 
     # Model id from data dir name (reference train.py:231-234).
     data_subset_name = os.path.basename(os.path.normpath(train_data_dir))
@@ -369,6 +412,27 @@ def train(
             # everything the saved state already consumed).
             with open(preempt_path) as f:
                 preempt_info = json.load(f)
+            if int(preempt_info["epoch"]) < initial_epoch:
+                # Stale marker: the history CSV already records this (or
+                # a later) epoch as COMPLETE — a hard kill landed in the
+                # window between appending the row and removing the
+                # marker. Trusting it would replay part of a finished
+                # epoch onto state that already contains it. The history
+                # row is only ever written after the checkpoint writes
+                # are flushed, so history is the authority here.
+                LOGGER.warning(
+                    "Ignoring stale %s (epoch %d < next epoch %d from "
+                    "history); removing it.",
+                    PREEMPT_FILE, int(preempt_info["epoch"]), initial_epoch,
+                )
+                try:
+                    os.remove(preempt_path)
+                except OSError:
+                    pass
+                preempt_info = None
+        else:
+            preempt_info = None
+        if preempt_info is not None:
             initial_epoch = int(preempt_info["epoch"])
             resume_step_in_epoch = int(preempt_info["steps_done_in_epoch"])
             # steps_done is a PER-PROCESS batch count over a
@@ -506,14 +570,22 @@ def train(
 
     steps_run_total = 0
     preempted = False
-    psync = _PreemptionSync(guard, mesh, lag=max(2, 2 * prefetch_batches))
+    # With preemption handling disabled the flag can never flip — skip
+    # the per-step cross-device reduce entirely (pass mesh=None).
+    psync = _PreemptionSync(
+        guard,
+        mesh if handle_preemption else None,
+        lag=max(2, 2 * prefetch_batches),
+    )
 
     @contextlib.contextmanager
     def _training_cleanup():
+        # guard.restore() is owned by the train() wrapper's finally, so
+        # handlers are released even on exceptions raised before this
+        # context exists.
         try:
             yield
         finally:
-            guard.restore()
             if saver is not None:
                 # Idempotent: preempted runs already drained the writer
                 # inside the snapshot.

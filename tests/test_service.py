@@ -306,3 +306,26 @@ class TestHTTPServing:
         with pytest.raises(urllib.error.HTTPError) as ei:
             urllib.request.urlopen(self._url(srv, "/nope"))
         assert ei.value.code == 404
+
+
+def test_closed_service_fails_requests_instead_of_hanging():
+    """submit() after close, and items still queued at close, must
+    resolve with an error — their callers are blocked in
+    Future.result() and would otherwise hang forever."""
+    from concurrent.futures import Future
+
+    ex = EmbeddingExtractor(None, "tiny_L3", "original")
+    svc = EmbeddingService(ex, max_batch_size=4, max_latency_ms=5)
+    svc.close()
+
+    fut = svc.submit(np.zeros((1, 48000), np.float32))
+    with pytest.raises(RuntimeError, match="closed"):
+        fut.result(timeout=5)
+
+    # An orphaned queued item (enqueued concurrently with close) is
+    # failed by the close-side drain rather than left pending.
+    orphan = Future()
+    svc._q.put((np.zeros((1, 48000), np.float32), orphan))
+    svc.close()
+    with pytest.raises(RuntimeError, match="closed before serving"):
+        orphan.result(timeout=5)

@@ -663,3 +663,42 @@ def test_async_writer_flush_is_durable(tmp_path):
             path, TestAsyncCheckpointWriter()._mini_state()
         )
         assert int(restored.step) == 5
+
+
+def test_stale_preempt_marker_ignored(corpus, tmp_path_factory):
+    """A preempt.json whose epoch the history CSV already records as
+    complete (hard kill between row append and marker removal) must be
+    ignored and removed — trusting it would replay part of a finished
+    epoch onto state that already contains it."""
+    import csv
+
+    from l3embedding_tpu.training.loop import PREEMPT_FILE, train
+
+    train_dir, valid_dir = corpus
+    args = dict(TestPreemptionRecovery.ARGS)
+    out = str(tmp_path_factory.mktemp("stale"))
+    model_dir, _ = train(train_dir, valid_dir, out, **args)  # epochs 0,1
+
+    marker = os.path.join(model_dir, PREEMPT_FILE)
+    with open(marker, "w") as f:
+        json.dump(
+            {
+                "epoch": 0,
+                "steps_done_in_epoch": 2,
+                "global_batch_idx": 2,
+                "process_count": 1,
+            },
+            f,
+        )
+
+    args3 = dict(args, num_epochs=3)
+    _, hist = train(
+        train_dir, valid_dir, "unused", continue_model_dir=model_dir, **args3
+    )
+    assert not os.path.exists(marker)
+    with open(os.path.join(model_dir, "history_csvlog.csv")) as f:
+        rows = list(csv.DictReader(f))
+    # One NEW epoch (2) ran — not a replay of epoch 0.
+    assert [int(r["epoch"]) for r in rows] == [0, 1, 2]
+    assert len(hist["loss"]) == 1
+    assert np.isfinite(float(rows[2]["acc"]))
