@@ -239,6 +239,10 @@ def main(argv=None):
         pass
     finally:
         server.shutdown()
+        # Stop the micro-batching worker and fail any queued requests
+        # (tests/examples close the service explicitly; the CLI entry
+        # point must too, or queued callers hang on a dead server).
+        server.l3_service.close()
 
 
 if __name__ == "__main__":

@@ -33,20 +33,26 @@ class EmbeddingService:
         self.max_latency = max_latency_ms / 1000.0
         self._q: queue.Queue = queue.Queue()
         self._stop = threading.Event()
+        # Serializes the stop-check+enqueue in submit() against close()
+        # setting the flag: without it a thread could pass the check,
+        # close() could set+drain, and the late put would enqueue a
+        # future nobody ever resolves (its caller blocks forever in
+        # Future.result()).
+        self._submit_lock = threading.Lock()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     def submit(self, windows: np.ndarray) -> Future:
         """(N, 48000) float32 windows → Future[(N, dim) embeddings]."""
-        if self._stop.is_set():
-            fut: Future = Future()
-            fut.set_exception(RuntimeError("EmbeddingService is closed"))
-            return fut
         windows = np.ascontiguousarray(windows, dtype=np.float32)
         if windows.ndim == 1:
             windows = windows[None, :]
-        fut = Future()
-        self._q.put((windows, fut))
+        fut: Future = Future()
+        with self._submit_lock:
+            if self._stop.is_set():
+                fut.set_exception(RuntimeError("EmbeddingService is closed"))
+                return fut
+            self._q.put((windows, fut))
         return fut
 
     def embed(self, windows: np.ndarray) -> np.ndarray:
@@ -88,7 +94,10 @@ class EmbeddingService:
                         fut.set_exception(e)
 
     def close(self):
-        self._stop.set()
+        with self._submit_lock:
+            # Under the lock: every submit() has either fully enqueued
+            # (drained below) or will observe the flag and fail fast.
+            self._stop.set()
         self._worker.join(timeout=2)
         # Fail any requests still queued (enqueued just before close, or
         # orphaned by a dead worker): their callers are blocked in

@@ -22,6 +22,11 @@ LATEST = "model_latest.ckpt"
 BEST_VALID_ACC = "model_best_valid_accuracy.ckpt"
 BEST_VALID_LOSS = "model_best_valid_loss.ckpt"
 PERIODIC_FMT = "model_checkpoint.{epoch:02d}.ckpt"
+# Mid-epoch preemption snapshots get their own file so LATEST always
+# holds epoch-boundary state: a hard kill between the snapshot write and
+# the preempt.json marker write must leave resume on clean epoch-boundary
+# semantics, never on unmarked mid-epoch state.
+PREEMPT = "model_preempt.ckpt"
 
 
 def _to_host(tree):

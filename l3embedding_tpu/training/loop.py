@@ -410,9 +410,26 @@ def _train_impl(
             # epoch at the exact next batch (the seeded generator replays
             # deterministically; start_batch_idx fast-forwards past
             # everything the saved state already consumed).
-            with open(preempt_path) as f:
-                preempt_info = json.load(f)
-            if int(preempt_info["epoch"]) < initial_epoch:
+            try:
+                with open(preempt_path) as f:
+                    preempt_info = json.load(f)
+                int(preempt_info["epoch"])
+                int(preempt_info["steps_done_in_epoch"])
+            except (ValueError, KeyError, TypeError) as e:
+                # Truncated/corrupt marker (e.g. a kill mid-write before
+                # this code wrote markers atomically): fall back to
+                # epoch-boundary resume — LATEST only ever holds
+                # epoch-boundary state, so that is always safe.
+                LOGGER.warning(
+                    "Ignoring unparsable %s (%s); resuming at the last "
+                    "completed epoch boundary.", PREEMPT_FILE, e,
+                )
+                try:
+                    os.remove(preempt_path)
+                except OSError:
+                    pass
+                preempt_info = None
+            if preempt_info is not None and int(preempt_info["epoch"]) < initial_epoch:
                 # Stale marker: the history CSV already records this (or
                 # a later) epoch as COMPLETE — a hard kill landed in the
                 # window between appending the row and removing the
@@ -432,12 +449,13 @@ def _train_impl(
                 preempt_info = None
         else:
             preempt_info = None
+        resume_ckpt = checkpoints.LATEST
         if preempt_info is not None:
-            initial_epoch = int(preempt_info["epoch"])
-            resume_step_in_epoch = int(preempt_info["steps_done_in_epoch"])
             # steps_done is a PER-PROCESS batch count over a
-            # process-count-specific shard layout: resuming on a
-            # different topology would silently replay/skip samples.
+            # process-count-specific shard layout and a specific
+            # batch/epoch geometry: resuming with ANY of these changed
+            # would silently misalign the start_batch_idx fast-forward
+            # (replaying or skipping samples). Validate all three.
             saved_procs = int(preempt_info.get("process_count", 1))
             if saved_procs != jax.process_count():
                 raise ValueError(
@@ -447,12 +465,57 @@ def _train_impl(
                     "Resume on the same process count (or complete the "
                     "epoch there first)."
                 )
-            LOGGER.info(
-                "Found %s: resuming mid-epoch %d at step %d",
-                PREEMPT_FILE, initial_epoch, resume_step_in_epoch,
+            cur_pp_bs = train_batch_size // jax.process_count()
+            saved_pp_bs = int(
+                preempt_info.get("per_process_batch_size", cur_pp_bs)
             )
+            if saved_pp_bs != cur_pp_bs:
+                raise ValueError(
+                    f"{PREEMPT_FILE} was written with per-process batch "
+                    f"size {saved_pp_bs}; resuming with {cur_pp_bs} would "
+                    "misalign the data fast-forward. Resume with the same "
+                    "train_batch_size (or complete the epoch there first)."
+                )
+            saved_epoch_size = int(
+                preempt_info.get("train_epoch_size", train_epoch_size)
+            )
+            if saved_epoch_size != train_epoch_size:
+                raise ValueError(
+                    f"{PREEMPT_FILE} was written with train_epoch_size "
+                    f"{saved_epoch_size}; resuming with {train_epoch_size} "
+                    "would misalign the data fast-forward. Resume with the "
+                    "same train_epoch_size (or complete the epoch there "
+                    "first)."
+                )
+            marker_ckpt = preempt_info.get("checkpoint", checkpoints.LATEST)
+            if not os.path.exists(
+                os.path.join(continue_model_dir, marker_ckpt)
+            ):
+                # Marker present but its snapshot is gone (manual
+                # cleanup): epoch-boundary resume from LATEST is safe.
+                LOGGER.warning(
+                    "%s references missing snapshot %s; resuming at the "
+                    "last completed epoch boundary instead.",
+                    PREEMPT_FILE, marker_ckpt,
+                )
+                try:
+                    os.remove(preempt_path)
+                except OSError:
+                    pass
+                preempt_info = None
+            else:
+                resume_ckpt = marker_ckpt
+                initial_epoch = int(preempt_info["epoch"])
+                resume_step_in_epoch = int(
+                    preempt_info["steps_done_in_epoch"]
+                )
+                LOGGER.info(
+                    "Found %s: resuming mid-epoch %d at step %d from %s",
+                    PREEMPT_FILE, initial_epoch, resume_step_in_epoch,
+                    resume_ckpt,
+                )
         state = checkpoints.load_state(
-            os.path.join(continue_model_dir, checkpoints.LATEST), state
+            os.path.join(continue_model_dir, resume_ckpt), state
         )
         LOGGER.info("Resuming from epoch %d", initial_epoch)
 
@@ -542,30 +605,42 @@ def _train_impl(
             checkpoints.save_state(path, state)
 
     def save_preempt_snapshot(epoch, steps_done_in_epoch):
-        """Synchronous exact-step snapshot + marker, then drain."""
+        """Synchronous exact-step snapshot + marker, then drain.
+
+        Crash-consistent ordering: the mid-epoch state goes to its OWN
+        file (model_preempt.ckpt), and only then does the marker — the
+        single source of truth that a mid-epoch snapshot exists — appear
+        atomically (tmp+os.replace, via _write_atomic). LATEST is never
+        overwritten here, so a SIGKILL at any point in this sequence
+        leaves either (a) no marker → clean epoch-boundary resume from
+        LATEST, or (b) a complete marker → exact-step resume from the
+        snapshot it references. There is no window where LATEST holds
+        unmarked mid-epoch state or the marker is truncated.
+        """
         if saver is not None:
             saver.close()  # drain pending writes first so LATEST is last
         if is_chief:
             checkpoints.save_state(
-                os.path.join(model_dir, checkpoints.LATEST), state
+                os.path.join(model_dir, checkpoints.PREEMPT), state
             )
-            with open(os.path.join(model_dir, PREEMPT_FILE), "w") as f:
-                json.dump(
-                    {
-                        "epoch": epoch,
-                        "steps_done_in_epoch": steps_done_in_epoch,
-                        "global_batch_idx": epoch * train_epoch_size
-                        + steps_done_in_epoch,
-                        "process_count": proc_count,
-                        "per_process_batch_size": train_batch_size
-                        // proc_count,
-                    },
-                    f,
-                )
+            marker = {
+                "epoch": epoch,
+                "steps_done_in_epoch": steps_done_in_epoch,
+                "global_batch_idx": epoch * train_epoch_size
+                + steps_done_in_epoch,
+                "process_count": proc_count,
+                "per_process_batch_size": train_batch_size // proc_count,
+                "train_epoch_size": train_epoch_size,
+                "checkpoint": checkpoints.PREEMPT,
+            }
+            checkpoints._write_atomic(
+                os.path.join(model_dir, PREEMPT_FILE),
+                json.dumps(marker).encode(),
+            )
         LOGGER.warning(
             "Preempted: saved %s at epoch %d step %d; rerun with "
             "--continue-model-dir %s to resume at this exact batch.",
-            checkpoints.LATEST, epoch, steps_done_in_epoch, model_dir,
+            checkpoints.PREEMPT, epoch, steps_done_in_epoch, model_dir,
         )
 
     steps_run_total = 0
@@ -770,9 +845,14 @@ def _train_impl(
             # A completed epoch supersedes any mid-epoch snapshot marker
             # (the history row above now points resume at epoch+1).
             if is_chief and epoch == initial_epoch and resume_step_in_epoch:
-                preempt_marker = os.path.join(model_dir, PREEMPT_FILE)
-                if os.path.exists(preempt_marker):
-                    os.remove(preempt_marker)
+                # Marker first (it is the source of truth that a
+                # mid-epoch snapshot exists), then the snapshot file.
+                for stale in (
+                    os.path.join(model_dir, PREEMPT_FILE),
+                    os.path.join(model_dir, checkpoints.PREEMPT),
+                ):
+                    if os.path.exists(stale):
+                        os.remove(stale)
 
             best_train_acc = max(best_train_acc, row["acc"])
             best_train_loss = min(best_train_loss, row["loss"])

@@ -11,6 +11,7 @@ loop only talks to the interface.
 from __future__ import annotations
 
 import json
+import math
 import os
 import threading
 from typing import Any
@@ -46,11 +47,29 @@ class ExperimentTracker:
         raise NotImplementedError
 
 
+def _sanitize(obj):
+    """Replace non-finite floats with None so emitted JSON is strict.
+
+    A zero-train-step resumed epoch legitimately reports NaN train
+    metrics (training/loop.py); json.dump would emit the non-standard
+    bare `NaN` token, which strict JSON parsers reject. Null is the
+    faithful strict-JSON encoding of "metric unavailable".
+    """
+    if isinstance(obj, float):
+        return obj if math.isfinite(obj) else None
+    if isinstance(obj, dict):
+        return {k: _sanitize(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_sanitize(v) for v in obj]
+    return obj
+
+
 class JSONLTracker(ExperimentTracker):
     """Append-only JSONL event log + latest-state sidecar.
 
     Every upsert/update appends an event; `state_path` holds the merged
     latest row per model_dir for cheap reading by reporting tools.
+    Non-finite floats are serialized as null (strict JSON).
     """
 
     def __init__(self, path: str):
@@ -61,7 +80,10 @@ class JSONLTracker(ExperimentTracker):
     def _append(self, event: dict) -> None:
         os.makedirs(os.path.dirname(os.path.abspath(self.path)), exist_ok=True)
         with self._lock, open(self.path, "a") as f:
-            f.write(json.dumps(event, default=str) + "\n")
+            f.write(
+                json.dumps(_sanitize(event), default=str, allow_nan=False)
+                + "\n"
+            )
 
     def _merge_state(self, key: str, values: dict) -> None:
         state: dict[str, Any] = {}
@@ -69,11 +91,11 @@ class JSONLTracker(ExperimentTracker):
             with open(self.state_path) as f:
                 state = json.load(f)
         row = state.get(key, {})
-        row.update(values)
+        row.update(_sanitize(values))
         state[key] = row
         tmp = self.state_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(state, f, indent=2, default=str)
+            json.dump(state, f, indent=2, default=str, allow_nan=False)
         os.replace(tmp, self.state_path)
 
     def upsert(self, row: dict) -> None:

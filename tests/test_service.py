@@ -329,3 +329,39 @@ def test_closed_service_fails_requests_instead_of_hanging():
     svc.close()
     with pytest.raises(RuntimeError, match="closed before serving"):
         orphan.result(timeout=5)
+
+
+def test_submit_close_race_every_future_resolves():
+    """Stress the submit()/close() window: with the submit lock, every
+    future returned by submit() must resolve (result OR error) — no
+    caller may be left blocked forever on an enqueued-after-drain
+    request (the pre-fix race)."""
+    import threading
+
+    ex = EmbeddingExtractor(None, "tiny_L3", "original")
+    for _ in range(5):
+        svc = EmbeddingService(ex, max_batch_size=8, max_latency_ms=1)
+        futures = []
+        flock = threading.Lock()
+        start = threading.Barrier(5)
+
+        def spam():
+            start.wait()
+            for _ in range(20):
+                f = svc.submit(np.zeros((1, 48000), np.float32))
+                with flock:
+                    futures.append(f)
+
+        threads = [threading.Thread(target=spam) for _ in range(4)]
+        for t in threads:
+            t.start()
+        start.wait()
+        svc.close()
+        for t in threads:
+            t.join()
+        for f in futures:
+            # Either served or failed-with-closed — never hanging.
+            try:
+                f.result(timeout=10)
+            except RuntimeError:
+                pass

@@ -143,3 +143,38 @@ def test_gsheets_google_backend_request_shapes():
     assert upd["range"] == "classifier!B1:C1"
     assert upd["spreadsheetId"] == "sheet-id-1"
     assert upd["valueInputOption"] == "USER_ENTERED"
+
+
+def test_jsonl_tracker_serializes_nan_as_null(tmp_path):
+    """A zero-train-step resumed epoch reports NaN train metrics; the
+    tracker must emit strict JSON (null), not the bare NaN token that
+    strict parsers reject (training/loop.py epoch-boundary preemption)."""
+    path = str(tmp_path / "exp.jsonl")
+    t = JSONLTracker(path)
+    t.upsert({"model_dir": "/runs/a"})
+    t.update(
+        "/runs/a",
+        {
+            "latest_train_acc": float("nan"),
+            "latest_train_loss": float("inf"),
+            "latest_validation_acc": 0.5,
+            "nested": {"x": float("nan"), "xs": [1.0, float("nan")]},
+        },
+    )
+    with open(path) as f:
+        raw = f.read()
+    assert "NaN" not in raw and "Infinity" not in raw
+    events = [json.loads(line, parse_constant=_reject) for line in raw.splitlines()]
+    vals = events[-1]["values"]
+    assert vals["latest_train_acc"] is None
+    assert vals["latest_train_loss"] is None
+    assert vals["latest_validation_acc"] == 0.5
+    assert vals["nested"]["x"] is None
+    assert vals["nested"]["xs"] == [1.0, None]
+    with open(t.state_path) as f:
+        state = json.load(f, parse_constant=_reject)
+    assert state["/runs/a"]["latest_train_acc"] is None
+
+
+def _reject(token):
+    raise AssertionError(f"non-strict JSON token emitted: {token}")

@@ -495,14 +495,24 @@ class TestPreemptionRecovery:
         assert info["steps_done_in_epoch"] == 1
         assert info["global_batch_idx"] == 4
         assert info["process_count"] == 1
+        assert info["checkpoint"] == "model_preempt.ckpt"
+        # The mid-epoch state lives in its OWN file; LATEST still holds
+        # the epoch-0 boundary state (crash consistency: a kill between
+        # snapshot and marker writes must leave LATEST clean).
+        assert os.path.exists(os.path.join(dir_b, "model_preempt.ckpt"))
         assert os.path.exists(os.path.join(dir_b, "model_latest.ckpt"))
+        with open(os.path.join(dir_b, "model_preempt.ckpt"), "rb") as fp, \
+                open(os.path.join(dir_b, "model_latest.ckpt"), "rb") as fl:
+            assert fp.read() != fl.read()
 
-        # Resume: finishes epoch 1 from step 1 and clears the marker.
+        # Resume: finishes epoch 1 from step 1 and clears the marker
+        # (and the now-stale snapshot file).
         _, hist = train(
             train_dir, valid_dir, "unused",
             continue_model_dir=dir_b, **self.ARGS,
         )
         assert not os.path.exists(marker)
+        assert not os.path.exists(os.path.join(dir_b, "model_preempt.ckpt"))
         assert len(hist["loss"]) == 1  # the one completed (resumed) epoch
 
         with open(os.path.join(dir_a, "model_latest.ckpt"), "rb") as fa:
@@ -578,10 +588,11 @@ def test_sigterm_preemption_e2e(corpus, tmp_path):
     assert os.path.exists(os.path.join(model_dir, PREEMPT_FILE)), (
         out_text[-3000:]
     )
-    assert os.path.exists(os.path.join(model_dir, "model_latest.ckpt"))
+    assert os.path.exists(os.path.join(model_dir, "model_preempt.ckpt"))
     with open(os.path.join(model_dir, PREEMPT_FILE)) as f:
         info = json.load(f)
     assert info["steps_done_in_epoch"] >= 1
+    assert info["checkpoint"] == "model_preempt.ckpt"
 
 
 def test_preempt_on_epoch_boundary_resumes(corpus, tmp_path_factory):
@@ -702,3 +713,96 @@ def test_stale_preempt_marker_ignored(corpus, tmp_path_factory):
     assert [int(r["epoch"]) for r in rows] == [0, 1, 2]
     assert len(hist["loss"]) == 1
     assert np.isfinite(float(rows[2]["acc"]))
+
+
+def test_truncated_preempt_marker_falls_back_to_epoch_boundary(
+    corpus, tmp_path_factory
+):
+    """A truncated/corrupt preempt.json (pre-atomic-writer artifact, or
+    disk-full) must not crash resume: fall back to epoch-boundary
+    semantics from the history CSV and remove the bad marker."""
+    import csv
+
+    from l3embedding_tpu.training.loop import PREEMPT_FILE, train
+
+    train_dir, valid_dir = corpus
+    args = dict(TestPreemptionRecovery.ARGS)
+    out = str(tmp_path_factory.mktemp("truncated"))
+    model_dir, _ = train(train_dir, valid_dir, out, **args)  # epochs 0,1
+
+    marker = os.path.join(model_dir, PREEMPT_FILE)
+    with open(marker, "w") as f:
+        f.write('{"epoch": 1, "steps_do')  # kill mid-write
+
+    args3 = dict(args, num_epochs=3)
+    _, hist = train(
+        train_dir, valid_dir, "unused", continue_model_dir=model_dir, **args3
+    )
+    assert not os.path.exists(marker)
+    with open(os.path.join(model_dir, "history_csvlog.csv")) as f:
+        rows = list(csv.DictReader(f))
+    assert [int(r["epoch"]) for r in rows] == [0, 1, 2]
+    assert len(hist["loss"]) == 1
+
+
+def test_preempt_marker_missing_snapshot_falls_back(corpus, tmp_path_factory):
+    """A valid marker whose referenced snapshot file is gone (manual
+    cleanup) resumes at the last completed epoch boundary from LATEST —
+    and, because the seeded stream replays deterministically, still ends
+    byte-identical to an uninterrupted run."""
+    from l3embedding_tpu.training.loop import PREEMPT_FILE, train
+
+    train_dir, valid_dir = corpus
+    args = dict(TestPreemptionRecovery.ARGS)
+
+    out_a = str(tmp_path_factory.mktemp("nosnap_ref"))
+    dir_a, _ = train(train_dir, valid_dir, out_a, **args)
+
+    out_b = str(tmp_path_factory.mktemp("nosnap_pre"))
+    dir_b, _ = train(
+        train_dir, valid_dir, out_b, preempt_after_steps=4, **args
+    )
+    os.remove(os.path.join(dir_b, "model_preempt.ckpt"))
+
+    _, hist = train(
+        train_dir, valid_dir, "unused", continue_model_dir=dir_b, **args
+    )
+    # Epoch 1 replayed in full from the epoch-0 boundary in LATEST.
+    assert len(hist["loss"]) == 1
+    assert not os.path.exists(os.path.join(dir_b, PREEMPT_FILE))
+    with open(os.path.join(dir_a, "model_latest.ckpt"), "rb") as fa, \
+            open(os.path.join(dir_b, "model_latest.ckpt"), "rb") as fb:
+        assert fa.read() == fb.read()
+
+
+@pytest.mark.parametrize(
+    "field,bad_value,match",
+    [
+        ("per_process_batch_size", 4, "per-process batch"),
+        ("train_epoch_size", 7, "train_epoch_size"),
+    ],
+)
+def test_preempt_geometry_mismatch_rejected(
+    corpus, tmp_path_factory, field, bad_value, match
+):
+    """Resuming a mid-epoch snapshot with a different batch/epoch
+    geometry would silently misalign the data fast-forward — reject."""
+    from l3embedding_tpu.training.loop import PREEMPT_FILE, train
+
+    train_dir, valid_dir = corpus
+    args = dict(TestPreemptionRecovery.ARGS)
+    out = str(tmp_path_factory.mktemp(f"geom_{field}"))
+    model_dir, _ = train(
+        train_dir, valid_dir, out, preempt_after_steps=2, **args
+    )
+    marker = os.path.join(model_dir, PREEMPT_FILE)
+    with open(marker) as f:
+        info = json.load(f)
+    info[field] = bad_value
+    with open(marker, "w") as f:
+        json.dump(info, f)
+    with pytest.raises(ValueError, match=match):
+        train(
+            train_dir, valid_dir, "unused",
+            continue_model_dir=model_dir, **args,
+        )
