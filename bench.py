@@ -152,6 +152,17 @@ def main():
 
     import jax
 
+    # Test/CI hook: this image's sitecustomize re-pins JAX_PLATFORMS=axon
+    # at interpreter start, so the env var alone cannot force a backend —
+    # the config update below must run before backend init (same recipe
+    # as __graft_entry__'s virtual-mesh re-exec). tests/test_bench_cli.py
+    # sets L3_FORCE_PLATFORM=cpu so the CLI guard can never grab (or
+    # wedge) the TPU tunnel.
+    forced = os.environ.get("L3_FORCE_PLATFORM")
+    if forced:
+        os.environ["JAX_PLATFORMS"] = forced
+        jax.config.update("jax_platforms", forced)
+
     try:
         # Persistent compilation cache: repeated bench invocations skip
         # the multi-minute XLA compile.
@@ -174,6 +185,7 @@ def main():
             "value": round(clips, 2),
             "unit": "1s-clips/sec",
             "vs_baseline": round(clips / REFERENCE_PAIRS_PER_SEC_4GPU, 2),
+            "platform": jax.default_backend(),
         }))
         return
 
@@ -185,6 +197,7 @@ def main():
         # Per-accelerator comparison (BASELINE.json metric is per chip):
         # one v5e chip vs one of the reference's four V100s.
         "vs_baseline": round(per_chip / REFERENCE_PAIRS_PER_SEC_PER_GPU, 2),
+        "platform": jax.default_backend(),
         "extra": {
             "baseline_framing": (
                 "vs_baseline = pairs/sec/chip over the reference per-GPU "

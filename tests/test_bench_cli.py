@@ -14,7 +14,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_bench(*args):
     env = dict(os.environ)
+    # JAX_PLATFORMS alone is NOT enough on this image: sitecustomize
+    # re-pins it to the axon TPU plugin at interpreter start, so the
+    # "CPU guard" would silently benchmark through the TPU tunnel (and
+    # can wedge it). L3_FORCE_PLATFORM makes bench.py apply the full
+    # force-CPU recipe (env var + jax.config.update before backend
+    # init); the emitted "platform" key proves where it actually ran.
     env["JAX_PLATFORMS"] = "cpu"
+    env["L3_FORCE_PLATFORM"] = "cpu"
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"),
          "--model-type", "tiny_L3", "--batch-size", "8",
@@ -23,7 +30,9 @@ def run_bench(*args):
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     last = proc.stdout.strip().splitlines()[-1]
-    return json.loads(last)
+    out = json.loads(last)
+    assert out["platform"] == "cpu", out
+    return out
 
 
 def test_bench_both_modes_json_contract():
