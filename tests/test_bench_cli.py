@@ -62,3 +62,26 @@ def test_bench_extract_mode():
 def test_bench_warmup_zero_does_not_crash():
     out = run_bench("--mode", "train", "--warmup", "0")
     assert out["value"] > 0
+
+
+def test_bench_parity_mode():
+    """--mode parity emits the measured BASELINE cosine gate (>= 0.999)
+    for the device embedding path vs the torch reference stack AND vs a
+    synthetic-Keras .h5 import (VERDICT r2 #4)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["L3_FORCE_PLATFORM"] = "cpu"
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--mode", "parity"],
+        capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["platform"] == "cpu"
+    assert out["metric"] == "embedding_parity_cosine_melspec2"
+    assert out["extra"]["pass"] is True
+    assert out["value"] >= 0.999
+    assert out["extra"]["parity_cosine_torch"] >= 0.999
+    assert out["extra"]["parity_cosine_keras_import"] >= 0.999
+    # Distinct implementations must not be bit-identical.
+    assert out["value"] < 1.0
