@@ -177,3 +177,26 @@ def test_export_vggish_npz_roundtrip(tmp_path):
     bad.pop("vggish/fc2/weights")
     with pytest.raises(SystemExit, match="missing"):
         export_vggish_npz.export(bad, str(tmp_path / "bad.npz"))
+
+
+def test_vggish_self_goldens_random_init():
+    """Self-goldens (VERDICT r2 #7): the published-checkpoint golden
+    asserts (reference vggish_smoke_test.py:49-95) stay dormant in this
+    zero-egress image, so numeric drift in the flax VGGish stack (mel
+    front-end + conv/fc forward) is caught by pinning the CURRENT
+    implementation's embedding stats on the smoke-test sine under the
+    deterministic PRNGKey(0) random init. If an intentional change moves
+    these, re-pin them with the values this test prints on failure; the
+    dormant real-golden gate in test_vggish_extractor_pipeline is
+    unchanged."""
+    from l3embedding_tpu.models.vggish import VGGishExtractor
+
+    x, sr = make_sine()
+    ex = VGGishExtractor.get_cached()
+    if ex.has_weights:  # pragma: no cover - goldens are for random init
+        pytest.skip("pretrained weights present; real goldens apply")
+    emb = ex.embed_waveform(x, sr, postprocess=False)
+    assert emb.shape == (3, 128)
+    got = (float(emb.mean()), float(emb.std()))
+    want = (0.10784861445426941, 0.18820998072624207)
+    np.testing.assert_allclose(got, want, rtol=1e-4, err_msg=f"re-pin: {got}")
