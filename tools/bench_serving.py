@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Serving SLOs: p50/p95 latency + aggregate clips/sec of the HTTP
+embedding service under N concurrent clients (VERDICT r2 #8).
+
+Starts embed/http_serve in-process with a resident extractor, fires N
+closed-loop clients at /v1/embed_windows (raw float32, one 1 s clip per
+request by default), and sweeps N to find where micro-batching saturates
+the chip vs the batch-128 extraction ceiling (bench.py --mode extract).
+This is the serving replacement for the reference's per-file
+predict/session pattern (reference data/usc/features.py:166-221).
+
+    python tools/bench_serving.py --clients 1,4,16,64 --requests 50
+    python tools/bench_serving.py --fast          # bf16 tower
+
+Numbers land in docs/DESIGN.md. On this dev image, request payloads ride
+the ~30 MB/s tunnel relay (192 KB/clip ≈ 6 ms), so absolute latencies
+carry a transfer floor a production host does not have; the saturation
+shape and aggregate-throughput numbers are the meaningful part.
+"""
+
+import argparse
+import json
+import os
+import sys
+import threading
+import time
+import urllib.request
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_load(port, n_clients, n_requests, windows_per_req, window_samples,
+             rng):
+    url = f"http://127.0.0.1:{port}/v1/embed_windows"
+    payloads = [
+        np.ascontiguousarray(
+            rng.randn(windows_per_req, window_samples).astype(np.float32)
+            * 0.1
+        ).tobytes()
+        for _ in range(4)
+    ]
+    latencies = [[] for _ in range(n_clients)]
+    errors = []
+    start = threading.Barrier(n_clients + 1)
+
+    def client(idx):
+        start.wait()
+        for i in range(n_requests):
+            req = urllib.request.Request(
+                url,
+                data=payloads[(idx + i) % len(payloads)],
+                headers={
+                    "Content-Type": "application/octet-stream",
+                    "X-Num-Windows": str(windows_per_req),
+                },
+            )
+            t0 = time.perf_counter()
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    r.read()
+            except Exception as e:  # pragma: no cover
+                errors.append(repr(e))
+                return
+            latencies[idx].append(time.perf_counter() - t0)
+
+    threads = [
+        threading.Thread(target=client, args=(i,)) for i in range(n_clients)
+    ]
+    for t in threads:
+        t.start()
+    start.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    if errors:
+        raise RuntimeError(f"{len(errors)} client errors: {errors[:3]}")
+    lat = np.concatenate([np.asarray(l) for l in latencies])
+    total_clips = n_clients * n_requests * windows_per_req
+    return {
+        "clients": n_clients,
+        "requests_per_client": n_requests,
+        "windows_per_request": windows_per_req,
+        "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
+        "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 2),
+        "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
+        "aggregate_clips_per_sec": round(total_clips / wall, 2),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-type", default="cnn_L3_melspec2")
+    p.add_argument("--pooling", default="short")
+    p.add_argument("--fast", action="store_true", help="bf16 tower")
+    p.add_argument("--clients", default="1,2,4,8,16,32,64")
+    p.add_argument("--requests", type=int, default=30)
+    p.add_argument("--windows-per-request", type=int, default=1)
+    p.add_argument("--max-batch-size", type=int, default=128)
+    p.add_argument("--max-latency-ms", type=float, default=5.0)
+    p.add_argument("--port", type=int, default=0)
+    args = p.parse_args()
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax_comp"))
+
+    from l3embedding_tpu.embed.extract import EmbeddingExtractor
+    from l3embedding_tpu.embed.http_serve import make_server
+
+    extractor = EmbeddingExtractor(
+        None, args.model_type, args.pooling, fast=args.fast
+    )
+    server = make_server(
+        extractor, "127.0.0.1", args.port,
+        max_batch_size=args.max_batch_size,
+        max_latency_ms=args.max_latency_ms,
+    )
+    port = server.server_address[1]
+    srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
+    srv_thread.start()
+
+    rng = np.random.RandomState(0)
+    try:
+        # Warm every bucket the sweep can hit (shape-bucketed jit).
+        for n in sorted({int(x) for x in args.clients.split(",")}):
+            run_load(port, n, 3, args.windows_per_request,
+                     extractor.sr, rng)
+        for n in (int(x) for x in args.clients.split(",")):
+            res = run_load(port, n, args.requests,
+                           args.windows_per_request, extractor.sr, rng)
+            res.update(model_type=args.model_type, pooling=args.pooling,
+                       fast=bool(args.fast))
+            print(json.dumps(res), flush=True)
+    finally:
+        server.shutdown()
+        server.l3_service.close()
+
+
+if __name__ == "__main__":
+    main()
