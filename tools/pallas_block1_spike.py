@@ -253,8 +253,13 @@ def bench_fused(batch, steps):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("part", nargs="?", default="all",
-                    choices=["xla", "gemm", "fused", "all"])
+    ap.add_argument("part", nargs="?", default="gemm",
+                    choices=["xla", "gemm", "fused", "all"],
+                    help="CAUTION: 'fused'/'all' compile the full Pallas "
+                         "conv kernel — measured to hang the remote compiler "
+                         ">15 min and wedge the TPU tunnel for ~1 h (see "
+                         "docs/ROUND_NOTES.md). Run only far from a bench "
+                         "window.")
     ap.add_argument("--batch", type=int, default=B_DEF)
     ap.add_argument("--steps", type=int, default=20)
     args = ap.parse_args()
