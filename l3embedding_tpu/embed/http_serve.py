@@ -184,7 +184,14 @@ def make_server(
     )
     state = _State(extractor, service)
     handler = type("BoundHandler", (_Handler,), {"state": state})
-    server = ThreadingHTTPServer((host, port), handler)
+    # socketserver's default listen backlog is 5: a burst of concurrent
+    # clients (the whole point of micro-batched serving) gets connection
+    # resets before the accept loop ever sees them. 128 matches the
+    # service's max batch.
+    server_cls = type(
+        "L3HTTPServer", (ThreadingHTTPServer,), {"request_queue_size": 128}
+    )
+    server = server_cls((host, port), handler)
     server.l3_service = service  # for shutdown/tests
     return server
 

@@ -279,6 +279,41 @@ class TestHTTPServing:
                 results[i], direct, rtol=1e-4, atol=1e-5
             )
 
+    def test_concurrent_burst_no_connection_resets(self, server):
+        """A 32-client simultaneous connect burst must not shed
+        connections: socketserver's default listen backlog is 5, which
+        reset clients under exactly the load micro-batched serving
+        exists for (make_server pins request_queue_size=128)."""
+        import urllib.request
+
+        srv, ex = server
+        n = 32
+        payload = np.zeros((1, 48000), np.float32).tobytes()
+        errors = []
+        start = threading.Barrier(n)
+
+        def worker(i):
+            start.wait()
+            req = urllib.request.Request(
+                self._url(srv, "/v1/embed_windows"),
+                data=payload,
+                headers={"Content-Type": "application/octet-stream",
+                         "X-Num-Windows": "1"},
+            )
+            try:
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    r.read()
+            except Exception as e:
+                errors.append(repr(e))
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(n)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors, errors[:5]
+
     def test_error_paths(self, server):
         import urllib.error
         import urllib.request

@@ -58,7 +58,7 @@ def run_load(port, n_clients, n_requests, windows_per_req, window_samples,
             )
             t0 = time.perf_counter()
             try:
-                with urllib.request.urlopen(req, timeout=120) as r:
+                with urllib.request.urlopen(req, timeout=600) as r:
                     r.read()
             except Exception as e:  # pragma: no cover
                 errors.append(repr(e))
@@ -124,7 +124,24 @@ def main():
 
     rng = np.random.RandomState(0)
     try:
-        # Warm every bucket the sweep can hit (shape-bucketed jit).
+        # Warm every shape bucket the sweep can coalesce into (powers of
+        # two up to max clients × windows) by driving the extractor
+        # directly — cold remote compiles take minutes and would
+        # otherwise land inside a client's timed request.
+        max_batch = min(
+            args.max_batch_size,
+            max(int(x) for x in args.clients.split(","))
+            * args.windows_per_request,
+        )
+        b = 1
+        while True:
+            extractor.embed_windows(
+                np.zeros((b, extractor.sr), np.float32)
+            )
+            print(f"warmed bucket {b}", file=sys.stderr)
+            if b >= max_batch:
+                break
+            b *= 2
         for n in sorted({int(x) for x in args.clients.split(",")}):
             run_load(port, n, 3, args.windows_per_request,
                      extractor.sr, rng)
