@@ -424,10 +424,14 @@ def _train_impl(
                     "Ignoring unparsable %s (%s); resuming at the last "
                     "completed epoch boundary.", PREEMPT_FILE, e,
                 )
-                try:
-                    os.remove(preempt_path)
-                except OSError:
-                    pass
+                for stale in (
+                    preempt_path,
+                    os.path.join(continue_model_dir, checkpoints.PREEMPT),
+                ):
+                    try:
+                        os.remove(stale)
+                    except OSError:
+                        pass
                 preempt_info = None
             if preempt_info is not None and int(preempt_info["epoch"]) < initial_epoch:
                 # Stale marker: the history CSV already records this (or
@@ -442,10 +446,14 @@ def _train_impl(
                     "history); removing it.",
                     PREEMPT_FILE, int(preempt_info["epoch"]), initial_epoch,
                 )
-                try:
-                    os.remove(preempt_path)
-                except OSError:
-                    pass
+                for stale in (
+                    preempt_path,
+                    os.path.join(continue_model_dir, checkpoints.PREEMPT),
+                ):
+                    try:
+                        os.remove(stale)
+                    except OSError:
+                        pass
                 preempt_info = None
         else:
             preempt_info = None
@@ -498,10 +506,14 @@ def _train_impl(
                     "last completed epoch boundary instead.",
                     PREEMPT_FILE, marker_ckpt,
                 )
-                try:
-                    os.remove(preempt_path)
-                except OSError:
-                    pass
+                for stale in (
+                    preempt_path,
+                    os.path.join(continue_model_dir, checkpoints.PREEMPT),
+                ):
+                    try:
+                        os.remove(stale)
+                    except OSError:
+                        pass
                 preempt_info = None
             else:
                 resume_ckpt = marker_ckpt
