@@ -128,35 +128,81 @@ class GoogleSheet:
         )
 
 
+SHEETS_SCOPES = ["https://www.googleapis.com/auth/spreadsheets"]
+
+
+def _load_google_credentials(cred_file):
+    """Build google-auth credentials from a JSON key file of either
+    kind, dispatching on its "type" field:
+
+      * "service_account" — a robot key (the modern deployment path).
+      * "authorized_user" — a stored USER OAuth2 token
+        (client_id/client_secret/refresh_token), the direct equivalent
+        of the token files the reference's oauth2client flow stored
+        under ~/.credentials/ (reference gsheets.py:81-109); google-auth
+        refreshes it transparently on first request.
+
+    Returns None (never raises) when the file is unreadable or of an
+    unknown type — tracking must never take down a training run."""
+    try:
+        with open(cred_file) as f:
+            kind = json.load(f).get("type")
+        if kind == "service_account":
+            from google.oauth2 import service_account
+
+            return service_account.Credentials.from_service_account_file(
+                cred_file, scopes=SHEETS_SCOPES
+            )
+        if kind == "authorized_user":
+            from google.oauth2.credentials import Credentials
+
+            return Credentials.from_authorized_user_file(
+                cred_file, scopes=SHEETS_SCOPES
+            )
+    except Exception:
+        pass
+    return None
+
+
+def _user_token_path(google_dev_app_name):
+    """Reference storage convention: ~/.credentials/<app_name>.json
+    (reference gsheets.py:86-101); overridable via L3_GOOGLE_USER_TOKEN."""
+    explicit = os.environ.get("L3_GOOGLE_USER_TOKEN")
+    if explicit:
+        return explicit
+    if not google_dev_app_name:
+        return None
+    return os.path.join(
+        os.path.expanduser("~"), ".credentials", f"{google_dev_app_name}.json"
+    )
+
+
 def get_credentials(google_dev_app_name, spreadsheet_path=None):
     """Returns a credentials token for `build_service`.
 
-    With google-auth importable and GOOGLE_APPLICATION_CREDENTIALS (or an
-    explicit service-account file via L3_GOOGLE_CREDENTIALS) set, returns
-    real Sheets-scoped credentials — the modern equivalent of the
-    reference's OAuth2 flow (gsheets.py:81-109). Otherwise a no-op marker
-    that routes build_service to the LocalSheet backend."""
-    marker = {"app_name": google_dev_app_name, "path": spreadsheet_path}
-    cred_file = os.environ.get("L3_GOOGLE_CREDENTIALS") or os.environ.get(
-        "GOOGLE_APPLICATION_CREDENTIALS"
-    )
-    if not cred_file or not os.path.exists(cred_file):
-        return marker
-    try:  # pragma: no cover - needs google libs + network
-        from google.oauth2 import service_account
+    Credential resolution, most explicit first (all optional — without
+    any, a no-op marker routes build_service to LocalSheet):
 
-        marker["google_credentials"] = (
-            service_account.Credentials.from_service_account_file(
-                cred_file,
-                scopes=["https://www.googleapis.com/auth/spreadsheets"],
-            )
-        )
-    except Exception:
-        # Not importable, or the file isn't a service-account key (e.g.
-        # an authorized_user ADC JSON set globally for other tooling).
-        # Tracking must never take down a training run — fall back to
-        # the LocalSheet backend.
-        pass
+      1. L3_GOOGLE_CREDENTIALS / GOOGLE_APPLICATION_CREDENTIALS — a JSON
+         key file, service-account OR stored-user-token kind.
+      2. L3_GOOGLE_USER_TOKEN, or the reference's storage convention
+         ~/.credentials/<google_dev_app_name>.json — a stored user OAuth2
+         token (reference gsheets.py:81-109; mint one once with
+         google-auth-oauthlib's InstalledAppFlow on any machine with a
+         browser, then copy the token JSON here)."""
+    marker = {"app_name": google_dev_app_name, "path": spreadsheet_path}
+    candidates = [
+        os.environ.get("L3_GOOGLE_CREDENTIALS"),
+        os.environ.get("GOOGLE_APPLICATION_CREDENTIALS"),
+        _user_token_path(google_dev_app_name),
+    ]
+    for cred_file in candidates:
+        if not cred_file or not os.path.exists(cred_file):
+            continue
+        creds = _load_google_credentials(cred_file)
+        if creds is not None:
+            marker["google_credentials"] = creds
+            break
     return marker
 
 
