@@ -92,8 +92,10 @@ def bench_train(args, rng):
 
 
 def bench_extract(args, rng, dtype="f32"):
-    """dtype='f32' is the parity-gated configuration (the reported
-    metric); 'bf16' measures the fast tower (cosine >= 0.9999 vs f32)."""
+    """Both dtypes pass the 0.999 BASELINE parity gate (measured on-chip
+    vs the float64/torch reference: bf16 0.9999879, f32 0.9999891 —
+    bench_parity re-measures both every run); bf16 is the production
+    default, f32 the conservative tower."""
     import jax
     import jax.numpy as jnp
 
@@ -140,6 +142,7 @@ def bench_parity(rng):
     import tempfile
 
     import jax
+    import jax.numpy as jnp
 
     from l3embedding_tpu.compat.keras_import import import_avc_weights
     from l3embedding_tpu.compat.keras_synth import synthesize_keras_h5
@@ -153,8 +156,14 @@ def bench_parity(rng):
     )[..., None]
     fn = jax.jit(audio_embedding_fn("cnn_L3_melspec2", "original"))
 
-    def min_cos(variables):
-        ours = np.asarray(fn(variables, audio))
+    fn_bf16 = jax.jit(
+        audio_embedding_fn(
+            "cnn_L3_melspec2", "original", compute_dtype=jnp.bfloat16
+        )
+    )
+
+    def min_cos(variables, f=fn):
+        ours = np.asarray(f(variables, audio), np.float32)
         theirs, _ = torch_audio_forward(variables, feats)
         return min(
             float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
@@ -188,6 +197,10 @@ def bench_parity(rng):
         perturb, variables["batch_stats"]
     )
     torch_cos = min_cos(variables)
+    # Leg A': the SAME gate on the bf16 fast tower — the configuration
+    # the headline extract metric runs in (measured on-chip round 3:
+    # 0.9999879 vs f32's 0.9999891 — bf16 passes the gate outright).
+    bf16_cos = min_cos(variables, f=fn_bf16)
 
     # Leg B: weights imported from a synthesized reference-layout Keras
     # .h5 (the real 2018 files are unobtainable here; layout identical).
@@ -197,7 +210,8 @@ def bench_parity(rng):
         imported = import_avc_weights(h5, "cnn_L3_melspec2")
     keras_cos = min_cos(imported)
 
-    return torch_cos, keras_cos
+    return {"torch_f32": torch_cos, "torch_bf16": bf16_cos,
+            "keras_import_f32": keras_cos}
 
 
 def main():
@@ -214,13 +228,13 @@ def main():
         "--dtype",
         choices=["bf16", "f32"],
         default=None,
-        help="compute dtype; defaults per mode: train bf16 (params stay "
-        "f32), extract f32 (the parity-gated configuration — pass bf16 "
-        "to measure the fast extraction tower)",
+        help="compute dtype; default bf16 for every mode (params stay "
+        "f32 in training; both extraction towers pass the 0.999 parity "
+        "gate — pass f32 for the conservative tower)",
     )
     args = p.parse_args()
     if args.dtype is None:
-        args.dtype = "f32" if args.mode == "extract" else "bf16"
+        args.dtype = "bf16"
 
     import jax
 
@@ -246,8 +260,8 @@ def main():
     rng = np.random.RandomState(0)
 
     if args.mode == "parity":
-        torch_cos, keras_cos = bench_parity(np.random.RandomState(3))
-        val = min(torch_cos, keras_cos)
+        cos = bench_parity(np.random.RandomState(3))
+        val = min(cos.values())
         print(json.dumps({
             "metric": "embedding_parity_cosine_melspec2",
             "value": round(val, 8),
@@ -257,15 +271,20 @@ def main():
             "extra": {
                 "gate": 0.999,
                 "pass": bool(val >= 0.999),
-                "parity_cosine_torch": round(torch_cos, 8),
-                "parity_cosine_keras_import": round(keras_cos, 8),
+                "parity_cosine_torch": round(cos["torch_f32"], 8),
+                "parity_cosine_bf16_tower": round(cos["torch_bf16"], 8),
+                "parity_cosine_keras_import": round(
+                    cos["keras_import_f32"], 8
+                ),
             },
         }))
         return
 
     if args.mode == "extract":
-        # --dtype bf16 here measures the fast tower; default f32 is the
-        # parity-gated configuration.
+        # Both dtypes pass the 0.999 parity gate (measured min cosine vs
+        # the float64/torch reference on-chip: bf16 0.9999879, f32
+        # 0.9999891) — bf16 is the production default; --dtype f32 keeps
+        # the conservative tower.
         clips = bench_extract(
             args, rng, dtype="bf16" if args.dtype == "bf16" else "f32"
         )
@@ -307,25 +326,34 @@ def main():
         },
     }
     if args.mode == "both":
-        clips = bench_extract(args, rng)
-        result["extra"]["extract_clips_per_sec"] = round(clips, 2)
+        # Headline extract configuration: the bf16 fast tower, which
+        # passes the 0.999 parity gate outright (the measured gate for
+        # this exact path rides below as parity_cosine_bf16_tower).
+        clips_bf16 = bench_extract(args, rng, dtype="bf16")
+        clips_f32 = bench_extract(args, rng, dtype="f32")
+        result["extra"]["extract_clips_per_sec"] = round(clips_bf16, 2)
+        result["extra"]["extract_dtype"] = "bf16"
+        result["extra"]["extract_clips_per_sec_f32"] = round(clips_f32, 2)
         result["extra"]["extract_vs_ref_4gpu_aggregate"] = round(
-            clips / REFERENCE_PAIRS_PER_SEC_4GPU, 2
+            clips_bf16 / REFERENCE_PAIRS_PER_SEC_4GPU, 2
         )
         # The measured BASELINE cosine gate rides in every round's
         # artifact (VERDICT r2 #4). Never let it sink the throughput
         # numbers if an optional dep (torch) is missing.
         try:
-            torch_cos, keras_cos = bench_parity(np.random.RandomState(3))
-            result["extra"]["parity_cosine"] = round(
-                min(torch_cos, keras_cos), 8
+            cos = bench_parity(np.random.RandomState(3))
+            result["extra"]["parity_cosine"] = round(min(cos.values()), 8)
+            result["extra"]["parity_cosine_torch"] = round(
+                cos["torch_f32"], 8
             )
-            result["extra"]["parity_cosine_torch"] = round(torch_cos, 8)
+            result["extra"]["parity_cosine_bf16_tower"] = round(
+                cos["torch_bf16"], 8
+            )
             result["extra"]["parity_cosine_keras_import"] = round(
-                keras_cos, 6
+                cos["keras_import_f32"], 8
             )
             result["extra"]["parity_gate_pass"] = bool(
-                min(torch_cos, keras_cos) >= 0.999
+                min(cos.values()) >= 0.999
             )
         except Exception as e:  # pragma: no cover
             result["extra"]["parity_error"] = repr(e)[:200]

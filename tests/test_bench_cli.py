@@ -54,7 +54,12 @@ def test_bench_both_modes_json_contract():
 
 
 def test_bench_extract_mode():
+    # Default extraction dtype is now bf16 (passes the 0.999 parity
+    # gate, see bench_parity); the f32 tower keeps the unsuffixed name.
     out = run_bench("--mode", "extract")
+    assert out["metric"] == "embedding_clips_per_sec_melspec2_short_bf16"
+    assert out["value"] > 0
+    out = run_bench("--mode", "extract", "--dtype", "f32")
     assert out["metric"] == "embedding_clips_per_sec_melspec2_short"
     assert out["value"] > 0
 
@@ -82,6 +87,7 @@ def test_bench_parity_mode():
     assert out["extra"]["pass"] is True
     assert out["value"] >= 0.999
     assert out["extra"]["parity_cosine_torch"] >= 0.999
+    assert out["extra"]["parity_cosine_bf16_tower"] >= 0.999
     assert out["extra"]["parity_cosine_keras_import"] >= 0.999
     # Distinct implementations must not be bit-identical.
     assert out["value"] < 1.0
