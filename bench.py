@@ -91,7 +91,7 @@ def bench_train(args, rng):
     return pairs_per_sec / jax.device_count()
 
 
-def bench_extract(args, rng, dtype="f32"):
+def bench_extract(args, rng, dtype="f32", batch_size=None):
     """Both dtypes pass the 0.999 BASELINE parity gate (measured on-chip
     vs the float64/torch reference: bf16 0.9999879, f32 0.9999891 —
     bench_parity re-measures both every run); bf16 is the production
@@ -118,8 +118,9 @@ def bench_extract(args, rng, dtype="f32"):
     )
     import jax.numpy as jnp
 
+    batch = batch_size or args.extract_batch_size
     audio = jnp.asarray(
-        (rng.randn(args.batch_size, 1, 48000) * 0.1).astype(np.float32)
+        (rng.randn(batch, 1, 48000) * 0.1).astype(np.float32)
     )
     emb = fn(variables, audio)
     float(emb[0, 0])
@@ -128,7 +129,7 @@ def bench_extract(args, rng, dtype="f32"):
         emb = fn(variables, audio)
     float(emb[0, 0])
     dt = time.perf_counter() - t0
-    return args.steps * args.batch_size / dt
+    return args.steps * batch / dt
 
 
 def bench_parity(rng):
@@ -217,7 +218,12 @@ def bench_parity(rng):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model-type", default="cnn_L3_melspec2")
-    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--batch-size", type=int, default=128,
+                   help="training batch (128 is the measured optimum)")
+    p.add_argument("--extract-batch-size", type=int, default=256,
+                   help="extraction batch (sweep on-chip: 128 -> 5,287, "
+                        "256 -> 5,882, 512 -> 5,437 clips/s bf16; 256 is "
+                        "the forward-only sweet spot)")
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument(
@@ -330,7 +336,11 @@ def main():
         # passes the 0.999 parity gate outright (the measured gate for
         # this exact path rides below as parity_cosine_bf16_tower).
         clips_bf16 = bench_extract(args, rng, dtype="bf16")
-        clips_f32 = bench_extract(args, rng, dtype="f32")
+        # Each tower at its measured optimum: bf16 peaks at batch 256
+        # (5,882 clips/s; 128 -> 5,287, 512 -> 5,437), f32 at batch 128
+        # (3,930; 256 -> 2,676 — the f32 tower's larger activations
+        # tile worse at 256).
+        clips_f32 = bench_extract(args, rng, dtype="f32", batch_size=128)
         result["extra"]["extract_clips_per_sec"] = round(clips_bf16, 2)
         result["extra"]["extract_dtype"] = "bf16"
         result["extra"]["extract_clips_per_sec_f32"] = round(clips_f32, 2)

@@ -25,6 +25,7 @@ def run_bench(*args):
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"),
          "--model-type", "tiny_L3", "--batch-size", "8",
+         "--extract-batch-size", "8",
          "--steps", "2", "--warmup", "1", *args],
         capture_output=True, text=True, timeout=900, cwd=REPO, env=env,
     )
