@@ -339,8 +339,12 @@ def main():
         # Each tower at its measured optimum: bf16 peaks at batch 256
         # (5,882 clips/s; 128 -> 5,287, 512 -> 5,437), f32 at batch 128
         # (3,930; 256 -> 2,676 — the f32 tower's larger activations
-        # tile worse at 256).
-        clips_f32 = bench_extract(args, rng, dtype="f32", batch_size=128)
+        # tile worse at 256). A user-lowered --extract-batch-size (e.g.
+        # memory-constrained configs) caps both legs.
+        clips_f32 = bench_extract(
+            args, rng, dtype="f32",
+            batch_size=min(128, args.extract_batch_size),
+        )
         result["extra"]["extract_clips_per_sec"] = round(clips_bf16, 2)
         result["extra"]["extract_dtype"] = "bf16"
         result["extra"]["extract_clips_per_sec_f32"] = round(clips_f32, 2)

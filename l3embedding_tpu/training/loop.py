@@ -51,6 +51,21 @@ HISTORY_CSV_FIELDS = ["epoch", "acc", "loss", "val_acc", "val_loss"]
 PREEMPT_FILE = "preempt.json"
 
 
+def _clear_preempt_files(model_dir: str) -> None:
+    """Remove the preemption marker and its snapshot, marker FIRST: the
+    marker is the source of truth that a mid-epoch snapshot exists, so a
+    kill between the two removals leaves no marker → safe epoch-boundary
+    resume, never a marker pointing at a deleted/stale snapshot."""
+    for stale in (
+        os.path.join(model_dir, PREEMPT_FILE),
+        os.path.join(model_dir, checkpoints.PREEMPT),
+    ):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
+
+
 class _PreemptionGuard:
     """SIGTERM/SIGINT → checkpoint-and-exit-cleanly flag.
 
@@ -424,14 +439,7 @@ def _train_impl(
                     "Ignoring unparsable %s (%s); resuming at the last "
                     "completed epoch boundary.", PREEMPT_FILE, e,
                 )
-                for stale in (
-                    preempt_path,
-                    os.path.join(continue_model_dir, checkpoints.PREEMPT),
-                ):
-                    try:
-                        os.remove(stale)
-                    except OSError:
-                        pass
+                _clear_preempt_files(continue_model_dir)
                 preempt_info = None
             if preempt_info is not None and int(preempt_info["epoch"]) < initial_epoch:
                 # Stale marker: the history CSV already records this (or
@@ -446,18 +454,27 @@ def _train_impl(
                     "history); removing it.",
                     PREEMPT_FILE, int(preempt_info["epoch"]), initial_epoch,
                 )
-                for stale in (
-                    preempt_path,
-                    os.path.join(continue_model_dir, checkpoints.PREEMPT),
-                ):
-                    try:
-                        os.remove(stale)
-                    except OSError:
-                        pass
+                _clear_preempt_files(continue_model_dir)
                 preempt_info = None
         else:
             preempt_info = None
         resume_ckpt = checkpoints.LATEST
+        if preempt_info is not None:
+            # Missing snapshot first: if the state the marker points at
+            # is gone (manual cleanup), geometry mismatches are moot —
+            # degrade to the safe epoch-boundary resume instead of
+            # raising an error the user cannot act on.
+            marker_ckpt = preempt_info.get("checkpoint", checkpoints.LATEST)
+            if not os.path.exists(
+                os.path.join(continue_model_dir, marker_ckpt)
+            ):
+                LOGGER.warning(
+                    "%s references missing snapshot %s; resuming at the "
+                    "last completed epoch boundary instead.",
+                    PREEMPT_FILE, marker_ckpt,
+                )
+                _clear_preempt_files(continue_model_dir)
+                preempt_info = None
         if preempt_info is not None:
             # steps_done is a PER-PROCESS batch count over a
             # process-count-specific shard layout and a specific
@@ -495,37 +512,14 @@ def _train_impl(
                     "same train_epoch_size (or complete the epoch there "
                     "first)."
                 )
-            marker_ckpt = preempt_info.get("checkpoint", checkpoints.LATEST)
-            if not os.path.exists(
-                os.path.join(continue_model_dir, marker_ckpt)
-            ):
-                # Marker present but its snapshot is gone (manual
-                # cleanup): epoch-boundary resume from LATEST is safe.
-                LOGGER.warning(
-                    "%s references missing snapshot %s; resuming at the "
-                    "last completed epoch boundary instead.",
-                    PREEMPT_FILE, marker_ckpt,
-                )
-                for stale in (
-                    preempt_path,
-                    os.path.join(continue_model_dir, checkpoints.PREEMPT),
-                ):
-                    try:
-                        os.remove(stale)
-                    except OSError:
-                        pass
-                preempt_info = None
-            else:
-                resume_ckpt = marker_ckpt
-                initial_epoch = int(preempt_info["epoch"])
-                resume_step_in_epoch = int(
-                    preempt_info["steps_done_in_epoch"]
-                )
-                LOGGER.info(
-                    "Found %s: resuming mid-epoch %d at step %d from %s",
-                    PREEMPT_FILE, initial_epoch, resume_step_in_epoch,
-                    resume_ckpt,
-                )
+            resume_ckpt = marker_ckpt
+            initial_epoch = int(preempt_info["epoch"])
+            resume_step_in_epoch = int(preempt_info["steps_done_in_epoch"])
+            LOGGER.info(
+                "Found %s: resuming mid-epoch %d at step %d from %s",
+                PREEMPT_FILE, initial_epoch, resume_step_in_epoch,
+                resume_ckpt,
+            )
         state = checkpoints.load_state(
             os.path.join(continue_model_dir, resume_ckpt), state
         )
@@ -632,6 +626,17 @@ def _train_impl(
         if saver is not None:
             saver.close()  # drain pending writes first so LATEST is last
         if is_chief:
+            # Re-preemption (a marker from the previous grace window can
+            # still be on disk mid-resumed-epoch): retract it BEFORE
+            # overwriting the snapshot it references, or a kill between
+            # the snapshot overwrite and the new marker write would
+            # leave the OLD marker pointing at the NEW state — resume
+            # would then fast-forward the data stream short of the
+            # weights. No marker → epoch-boundary resume, always safe.
+            try:
+                os.remove(os.path.join(model_dir, PREEMPT_FILE))
+            except OSError:
+                pass
             checkpoints.save_state(
                 os.path.join(model_dir, checkpoints.PREEMPT), state
             )
@@ -857,14 +862,7 @@ def _train_impl(
             # A completed epoch supersedes any mid-epoch snapshot marker
             # (the history row above now points resume at epoch+1).
             if is_chief and epoch == initial_epoch and resume_step_in_epoch:
-                # Marker first (it is the source of truth that a
-                # mid-epoch snapshot exists), then the snapshot file.
-                for stale in (
-                    os.path.join(model_dir, PREEMPT_FILE),
-                    os.path.join(model_dir, checkpoints.PREEMPT),
-                ):
-                    if os.path.exists(stale):
-                        os.remove(stale)
+                _clear_preempt_files(model_dir)
 
             best_train_acc = max(best_train_acc, row["acc"])
             best_train_loss = min(best_train_loss, row["loss"])

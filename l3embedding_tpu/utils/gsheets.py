@@ -131,7 +131,7 @@ class GoogleSheet:
 SHEETS_SCOPES = ["https://www.googleapis.com/auth/spreadsheets"]
 
 
-def _load_google_credentials(cred_file):
+def _load_google_credentials(cred_file, required_kind=None):
     """Build google-auth credentials from a JSON key file of either
     kind, dispatching on its "type" field:
 
@@ -147,6 +147,8 @@ def _load_google_credentials(cred_file):
     try:
         with open(cred_file) as f:
             kind = json.load(f).get("type")
+        if required_kind is not None and kind != required_kind:
+            return None
         if kind == "service_account":
             from google.oauth2 import service_account
 
@@ -191,15 +193,21 @@ def get_credentials(google_dev_app_name, spreadsheet_path=None):
          google-auth-oauthlib's InstalledAppFlow on any machine with a
          browser, then copy the token JSON here)."""
     marker = {"app_name": google_dev_app_name, "path": spreadsheet_path}
+    # GOOGLE_APPLICATION_CREDENTIALS is often a gcloud ADC user token set
+    # globally for OTHER tooling, whose refresh token was never granted
+    # the Sheets scope — loading it would fail at request time instead
+    # of falling back. Only service-account keys are accepted from it;
+    # user tokens must come through the explicit L3_* channels.
     candidates = [
-        os.environ.get("L3_GOOGLE_CREDENTIALS"),
-        os.environ.get("GOOGLE_APPLICATION_CREDENTIALS"),
-        _user_token_path(google_dev_app_name),
+        (os.environ.get("L3_GOOGLE_CREDENTIALS"), None),
+        (os.environ.get("GOOGLE_APPLICATION_CREDENTIALS"),
+         "service_account"),
+        (_user_token_path(google_dev_app_name), None),
     ]
-    for cred_file in candidates:
+    for cred_file, required_kind in candidates:
         if not cred_file or not os.path.exists(cred_file):
             continue
-        creds = _load_google_credentials(cred_file)
+        creds = _load_google_credentials(cred_file, required_kind)
         if creds is not None:
             marker["google_credentials"] = creds
             break

@@ -89,7 +89,11 @@ class JSONLTracker(ExperimentTracker):
         state: dict[str, Any] = {}
         if os.path.exists(self.state_path):
             with open(self.state_path) as f:
-                state = json.load(f)
+                # Sanitize the LOADED state too: files written before
+                # strict-JSON mode can carry bare NaN tokens (json.load
+                # accepts them), and re-dumping them with allow_nan=False
+                # would raise — taking down the training run on resume.
+                state = _sanitize(json.load(f))
         row = state.get(key, {})
         row.update(_sanitize(values))
         state[key] = row

@@ -78,7 +78,10 @@ def test_03_cli_functional(tmp_path):
          "-mt", "tiny_L3", "-e", "1", "-tes", "2", "-ves", "1",
          "-tbs", "8", "-vbs", "8", "-nl",
          train_dir, valid_dir, out],
-        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=600,
+        # 390 s solo on this 1-core image; 900 leaves margin for suite
+        # contention (observed flaky at 600 when run alongside other
+        # compiling tests).
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=900,
     )
     assert res.returncode == 0, res.stderr[-3000:]
     runs = glob.glob(os.path.join(out, "embedding", "*", "tiny_L3", "*"))

@@ -806,3 +806,73 @@ def test_preempt_geometry_mismatch_rejected(
             train_dir, valid_dir, "unused",
             continue_model_dir=model_dir, **args,
         )
+
+
+def test_double_preemption_resumes_byte_identical(corpus, tmp_path_factory):
+    """A resumed run preempted AGAIN mid-epoch must retract the old
+    marker before overwriting the snapshot (loop.save_preempt_snapshot)
+    and still converge, over two resumes, to a final state byte-identical
+    to an uninterrupted run."""
+    from l3embedding_tpu.training.loop import PREEMPT_FILE, train
+
+    train_dir, valid_dir = corpus
+    args = dict(TestPreemptionRecovery.ARGS)
+
+    out_a = str(tmp_path_factory.mktemp("dbl_ref"))
+    dir_a, _ = train(train_dir, valid_dir, out_a, **args)
+
+    out_b = str(tmp_path_factory.mktemp("dbl_pre"))
+    dir_b, _ = train(
+        train_dir, valid_dir, out_b, preempt_after_steps=2, **args
+    )
+    with open(os.path.join(dir_b, PREEMPT_FILE)) as f:
+        assert json.load(f)["epoch"] == 0
+
+    # Second preemption: 1 remaining epoch-0 train step, then epoch 1
+    # step 1 trips the injected fault — a fresh marker+snapshot pair.
+    train(
+        train_dir, valid_dir, "unused",
+        continue_model_dir=dir_b, preempt_after_steps=2, **args,
+    )
+    with open(os.path.join(dir_b, PREEMPT_FILE)) as f:
+        info = json.load(f)
+    assert info["epoch"] == 1
+    assert info["steps_done_in_epoch"] == 1
+    assert os.path.exists(os.path.join(dir_b, "model_preempt.ckpt"))
+
+    _, hist = train(
+        train_dir, valid_dir, "unused", continue_model_dir=dir_b, **args
+    )
+    assert not os.path.exists(os.path.join(dir_b, PREEMPT_FILE))
+    with open(os.path.join(dir_a, "model_latest.ckpt"), "rb") as fa, \
+            open(os.path.join(dir_b, "model_latest.ckpt"), "rb") as fb:
+        assert fa.read() == fb.read()
+
+
+def test_preempt_missing_snapshot_beats_geometry_mismatch(
+    corpus, tmp_path_factory
+):
+    """Marker whose snapshot is gone AND whose geometry mismatches must
+    degrade to epoch-boundary resume (the geometry error would demand a
+    retry that cannot succeed — the snapshot no longer exists)."""
+    from l3embedding_tpu.training.loop import PREEMPT_FILE, train
+
+    train_dir, valid_dir = corpus
+    args = dict(TestPreemptionRecovery.ARGS)
+    out = str(tmp_path_factory.mktemp("nosnap_geom"))
+    model_dir, _ = train(
+        train_dir, valid_dir, out, preempt_after_steps=4, **args
+    )
+    os.remove(os.path.join(model_dir, "model_preempt.ckpt"))
+    marker = os.path.join(model_dir, PREEMPT_FILE)
+    with open(marker) as f:
+        info = json.load(f)
+    info["train_epoch_size"] = 999  # would raise if validated first
+    with open(marker, "w") as f:
+        json.dump(info, f)
+
+    _, hist = train(
+        train_dir, valid_dir, "unused", continue_model_dir=model_dir, **args
+    )
+    assert len(hist["loss"]) == 1  # epoch 1 replayed from the boundary
+    assert not os.path.exists(marker)

@@ -194,8 +194,16 @@ def main():
 
     if args.synth:
         base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        # Every (batch, n_files, seed) combination gets its own dir:
+        # data_generator reads EVERY .h5 in the directory, so reusing a
+        # shared dir across parameter changes would silently measure a
+        # different corpus than requested.
         args.data_dir = synthesize_corpus(
-            os.path.join(base, f"l3_fullloop_b{args.batch_size}"),
+            os.path.join(
+                base,
+                f"l3_fullloop_b{args.batch_size}"
+                f"_n{args.synth}_s{args.random_state}",
+            ),
             args.synth, args.batch_size, seed=args.random_state,
         )
         print(f"synth corpus at {args.data_dir}", file=sys.stderr)

@@ -192,38 +192,41 @@ def bench_fused(batch, steps):
     sd = jax.device_put(jnp.asarray(scale.reshape(1, C)))
     bd = jax.device_put(jnp.asarray(shift.reshape(1, C)))
 
-    grid = (batch, H // TILE_H)
+    def make_f(nb):
+        grid = (nb, H // TILE_H)
 
-    @jax.jit
-    def f(x, w, s, b):
-        # W padded to 232 (=8*29) and channels to 128: Mosaic DMA
-        # slices must be 8-aligned on the sublane dim and 128-aligned
-        # on the lane dim — C=64 inputs cannot even be DMA'd without
-        # a 2x HBM-traffic channel pad (part of the measured verdict).
-        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 7), (0, 64)))
-        return pl.pallas_call(
-            _fused_kernel,
-            out_shape=jax.ShapeDtypeStruct((batch, H, W, C), jnp.bfloat16),
-            grid=grid,
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),  # padded x in HBM
-                pl.BlockSpec((K_DIM, C), lambda b, t: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, C), lambda b, t: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, C), lambda b, t: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (1, TILE_H, W, C), lambda b, t: (b, t, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((TILE_H + 2, W + 8, 2 * C), jnp.bfloat16),
-                pltpu.VMEM((M_TILE, K_DIM), jnp.bfloat16),
-                pltpu.SemaphoreType.DMA(()),
-            ],
-        )(xp, w, s, b)
+        @jax.jit
+        def f(x, w, s, b):
+            # W padded to 232 (=8*29) and channels to 128: Mosaic DMA
+            # slices must be 8-aligned on the sublane dim and 128-aligned
+            # on the lane dim — C=64 inputs cannot even be DMA'd without
+            # a 2x HBM-traffic channel pad (part of the measured verdict).
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 7), (0, 64)))
+            return pl.pallas_call(
+                _fused_kernel,
+                out_shape=jax.ShapeDtypeStruct((nb, H, W, C), jnp.bfloat16),
+                grid=grid,
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.ANY),  # padded x, HBM
+                    pl.BlockSpec((K_DIM, C), lambda b, t: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, C), lambda b, t: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, C), lambda b, t: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(
+                    (1, TILE_H, W, C), lambda b, t: (b, t, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                scratch_shapes=[
+                    pltpu.VMEM((TILE_H + 2, W + 8, 2 * C), jnp.bfloat16),
+                    pltpu.VMEM((M_TILE, K_DIM), jnp.bfloat16),
+                    pltpu.SemaphoreType.DMA(()),
+                ],
+            )(xp, w, s, b)
+
+        return f
 
     # Correctness vs the XLA formulation first (small slice).
     @jax.jit
@@ -236,7 +239,10 @@ def bench_fused(batch, steps):
         return jnp.maximum(y * s + b, 0.0).astype(jnp.bfloat16)
 
     small = xd[:2]
-    got = np.asarray(f(small, wd, sd, bd), np.float32)
+    # The fused program bakes the batch into grid/out_shape: the
+    # correctness check needs its own batch-2 program, or the batch-N
+    # kernel would DMA out of bounds and the shapes wouldn't compare.
+    got = np.asarray(make_f(2)(small, wd, sd, bd), np.float32)
     want = np.asarray(
         ref(small, jnp.asarray(w, jnp.bfloat16), jnp.asarray(scale),
             jnp.asarray(shift)),
@@ -245,7 +251,7 @@ def bench_fused(batch, steps):
     err = float(np.max(np.abs(got - want)))
     rel = err / (float(np.max(np.abs(want))) + 1e-9)
 
-    dt = timeit(f, xd, wd, sd, bd, steps=steps)
+    dt = timeit(make_f(batch), xd, wd, sd, bd, steps=steps)
     flops = 2 * batch * H * W * K_DIM * C
     return {"variant": "pallas_fused_conv_bn_relu", "ms": dt * 1e3,
             "tflops": flops / dt / 1e12, "max_abs_err": err, "rel_err": rel}
