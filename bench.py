@@ -221,9 +221,10 @@ def main():
     p.add_argument("--batch-size", type=int, default=128,
                    help="training batch (128 is the measured optimum)")
     p.add_argument("--extract-batch-size", type=int, default=256,
-                   help="extraction batch (sweep on-chip: 128 -> 5,287, "
-                        "256 -> 5,882, 512 -> 5,437 clips/s bf16; 256 is "
-                        "the forward-only sweet spot)")
+                   help="extraction batch (bf16 sweep on-chip: 128 -> "
+                        "5,287, 256 -> 5,882, 512 -> 5,437 clips/s; the "
+                        "f32 tower peaks at 128 — pass that with "
+                        "--dtype f32)")
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument(
