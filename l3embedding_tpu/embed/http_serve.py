@@ -65,6 +65,12 @@ class _State:
 class _Handler(BaseHTTPRequestHandler):
     state: _State  # set by make_server
 
+    # HTTP/1.1 keep-alive: closed-loop clients reuse one TCP connection
+    # instead of reconnecting per clip (the stdlib default is HTTP/1.0,
+    # one connection per request). Safe because every reply path sets
+    # Content-Length (_reply_json and the raw /v1/embed_windows path).
+    protocol_version = "HTTP/1.1"
+
     # -- plumbing -----------------------------------------------------
     def log_message(self, fmt, *args):  # route to our logger, not stderr
         LOGGER.debug("%s - %s", self.address_string(), fmt % args)

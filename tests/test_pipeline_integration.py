@@ -80,7 +80,10 @@ def test_05_then_06(setup):
             "-lmp", ckpt, "-lpt", "original", "-hs", "0.5",
             "dcase2013", audio_dir, out_dir,
         ],
-        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=600,
+        # Contention margin: observed passing in ~280 s solo on this
+        # 1-core image but timing out at 600 when run alongside other
+        # compiling tests (same pattern as test_03_cli_functional).
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=900,
     )
     assert res.returncode == 0, res.stderr[-3000:]
 

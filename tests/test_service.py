@@ -314,6 +314,31 @@ class TestHTTPServing:
             t.join()
         assert not errors, errors[:5]
 
+    def test_http11_keepalive_connection_reuse(self, server):
+        """The server speaks HTTP/1.1 with Content-Length on every
+        reply, so one TCP connection serves many requests (closed-loop
+        clients would otherwise pay a reconnect per clip)."""
+        import http.client
+
+        srv, ex = server
+        host, port = srv.server_address[0], srv.server_address[1]
+        conn = http.client.HTTPConnection(host, port, timeout=120)
+        payload = np.zeros((1, 48000), np.float32).tobytes()
+        try:
+            for _ in range(3):
+                conn.request(
+                    "POST", "/v1/embed_windows", body=payload,
+                    headers={"Content-Type": "application/octet-stream",
+                             "X-Num-Windows": "1"},
+                )
+                resp = conn.getresponse()
+                assert resp.status == 200
+                assert resp.version == 11
+                body = resp.read()
+                assert len(body) == int(resp.headers["Content-Length"])
+        finally:
+            conn.close()
+
     def test_error_paths(self, server):
         import urllib.error
         import urllib.request
