@@ -1,0 +1,300 @@
+"""Post-training int8 quantized audio-embedding extraction.
+
+The extraction/serving hot path (reference data/usc/features.py:256-306:
+windowed 1 s clips through the audio tower) is conv-bound, and the v5e
+MXU runs s8xs8->s32 at twice the bf16 rate while int8 activations halve
+the HBM traffic of every elementwise epilogue. This module implements
+the standard TPU serving recipe on top of the parity towers
+(reference l3embedding/audio_model.py:45-115):
+
+  * BatchNorm folding — at inference BN is an affine transform, so each
+    conv->BN pair collapses into a single conv with rescaled weights
+    (w' = w * gamma/sqrt(var+eps), b' = (b-mean)*scale + beta). The
+    embedding conv (raw tap, reference audio_model.py:482) is left
+    unfolded.
+  * Per-output-channel symmetric int8 weights (scale = amax/127).
+  * Static per-tensor symmetric activation scales from a calibration
+    pass (amax of each conv input over user-supplied windows), so the
+    requantize step fuses into the previous layer's epilogue and
+    activations live in int8 end-to-end. Zero-point-free symmetric
+    quantization keeps SAME-padding zeros exact.
+  * Max-pooling runs on the int8 tensors directly: the epilogue
+    (positive per-channel scale -> relu -> divide by positive scale ->
+    round -> clip) is monotone non-decreasing, so pool-then-requantize
+    equals requantize-then-pool.
+
+The DSP front-end stays in the bf16 MXU formulation (it is ~3 ms/128 and
+accuracy-critical); quantization starts at the first conv.
+
+Accuracy is measured, not assumed: `embedding_cosine` compares against
+the f32 tower so callers (bench.py --parity, tests) can gate on the
+BASELINE 0.999 cosine themselves.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import build_model
+from ..models.embedding import _pool_flatten
+from ..ops import frontend
+from ..training import checkpoints
+
+LOGGER = logging.getLogger("l3embedding_tpu.embed")
+
+# Layer indices (of the 7 ConvBNRelu blocks) followed by a 2x2 pool
+# (reference audio_model.py:45-95: pools close blocks 1-3; block 4's
+# pool sits after the embedding tap and never runs at extraction).
+_POOL_AFTER = (1, 3, 5)
+
+
+@dataclass
+class _FoldedTower:
+    """BN-folded f32 audio tower: 7 conv(w,b) + the raw embedding conv."""
+
+    frontend_kind: str  # 'linear' | 'linear_db' | 'mel'
+    n_mels: int
+    input_affine: tuple | None  # (a, c): y = fe * a + c  (folded input BN)
+    convs: list  # [(w (3,3,ci,co) f32, b (co,) f32)] x 7
+    emb_conv: tuple  # (w, b) — unfolded (raw embedding tap)
+    db_batch_global: bool = False
+
+    def frontend_cfg(self):
+        if self.frontend_kind == "mel":
+            return frontend.MelConfig(
+                n_mels=self.n_mels, db_per_sample=not self.db_batch_global
+            )
+        return frontend.SpectrogramConfig(
+            decibel=(self.frontend_kind == "linear_db"),
+            db_per_sample=not self.db_batch_global,
+        )
+
+
+def _fold_bn(w, b, bn_params, bn_stats, eps=1e-3):
+    s = bn_params["scale"] / np.sqrt(bn_stats["var"] + eps)
+    return w * s, (b - bn_stats["mean"]) * s + bn_params["bias"]
+
+
+def fold_audio_tower(variables, model_type: str,
+                     db_batch_global: bool = False) -> _FoldedTower:
+    """Fold every conv->BN pair of the audio tower into plain convs.
+
+    `variables` is the full AVC variables dict (params + batch_stats) as
+    produced by model.init / checkpoints.load_variables.
+    """
+    spec = build_model(model_type)
+    tower = spec.module().audio_model
+    if type(tower).__name__ != "L3AudioTower":
+        raise ValueError(
+            f"int8 quantization supports the full L3 audio towers; "
+            f"{model_type!r} uses {type(tower).__name__}"
+        )
+    params = jax.tree.map(np.asarray, variables["params"]["audio_model"])
+    stats = jax.tree.map(np.asarray, variables["batch_stats"]["audio_model"])
+
+    input_affine = None
+    if tower.frontend_kind != "linear":
+        bnp, bns = params["BatchNorm_0"], stats["BatchNorm_0"]
+        a = bnp["scale"] / np.sqrt(bns["var"] + 1e-3)
+        input_affine = (a, bnp["bias"] - bns["mean"] * a)
+
+    convs = []
+    for i in range(7):
+        blk = params[f"ConvBNRelu_{i}"]
+        blks = stats[f"ConvBNRelu_{i}"]
+        convs.append(
+            _fold_bn(
+                blk["Conv_0"]["kernel"], blk["Conv_0"]["bias"],
+                blk["BatchNorm_0"], blks["BatchNorm_0"],
+            )
+        )
+    emb = params["audio_embedding_layer"]
+    return _FoldedTower(
+        frontend_kind=tower.frontend_kind,
+        n_mels=tower.n_mels,
+        input_affine=input_affine,
+        convs=convs,
+        emb_conv=(emb["kernel"], emb["bias"]),
+        db_batch_global=db_batch_global,
+    )
+
+
+def _conv(x, w, preferred):
+    return jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=preferred,
+    )
+
+
+def _frontend_features(fold: _FoldedTower, audio, f32: bool):
+    """(B, 48000) -> (B, freq, T, 1) f32 features incl. folded input BN."""
+    cfg = fold.frontend_cfg()
+    if fold.frontend_kind == "mel":
+        y = (frontend.melspectrogram(audio, cfg,
+                                     precision=jax.lax.Precision.HIGHEST)
+             if f32 else frontend.melspectrogram_bf16(audio, cfg))
+    elif f32:
+        y = frontend.spectrogram(audio, cfg,
+                                 precision=jax.lax.Precision.HIGHEST)
+    else:
+        y = frontend.spectrogram_bf16(audio, cfg)
+    if fold.frontend_kind == "linear":
+        y = frontend.l3_log_norm(y)
+    if fold.input_affine is not None:
+        a, c = fold.input_affine
+        y = y * a + c
+    return y
+
+
+def folded_forward(fold: _FoldedTower, audio, pool, *, f32_frontend=True,
+                   collect_amax=False):
+    """BN-folded f32 reference forward. Returns embeddings, and with
+    collect_amax=True also the per-conv-input amax values used for
+    calibration (8 scalars: 7 blocks + embedding conv)."""
+    if audio.ndim == 3:
+        audio = audio[:, 0, :]
+    y = _frontend_features(fold, audio, f32=f32_frontend)
+    amaxes = []
+    for i, (w, b) in enumerate(fold.convs):
+        amaxes.append(jnp.max(jnp.abs(y)))
+        y = jnp.maximum(_conv(y, jnp.asarray(w), jnp.float32) + b, 0.0)
+        if i in _POOL_AFTER:
+            y = jax.lax.reduce_window(
+                y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+            )
+    amaxes.append(jnp.max(jnp.abs(y)))
+    w, b = fold.emb_conv
+    feat = _conv(y, jnp.asarray(w), jnp.float32) + b
+    emb = _pool_flatten(feat, pool)
+    if collect_amax:
+        return emb, jnp.stack(amaxes)
+    return emb
+
+
+class QuantizedAudioEmbedder:
+    """Int8 drop-in for EmbeddingExtractor's embed_windows (audio only).
+
+    Usage:
+        q = QuantizedAudioEmbedder(weights_path, 'cnn_L3_melspec2', 'short')
+        q.calibrate(representative_windows)   # (N, 48000) float32
+        emb = q.embed_windows(windows)
+
+    Calibration windows should be real audio (a few hundred windows is
+    plenty: scales are per-tensor amax). `embedding_cosine(windows)`
+    reports min/mean cosine vs the f32 tower for gating.
+    """
+
+    def __init__(
+        self,
+        weights_path: str | None,
+        model_type: str,
+        pooling_type: str = "short",
+        db_batch_global: bool = False,
+        variables=None,
+    ):
+        spec = build_model(model_type)
+        self.pool = spec.audio_embedding_pooling[pooling_type]
+        if variables is None:
+            model = spec.module()
+            variables = model.init(
+                jax.random.PRNGKey(0),
+                np.zeros((1,) + tuple(spec.video_input_shape), np.float32),
+                np.zeros((1,) + tuple(spec.audio_input_shape), np.float32),
+                train=False,
+            )
+            if weights_path is not None:
+                variables = checkpoints.load_variables(weights_path, variables)
+        self.fold = fold_audio_tower(variables, model_type, db_batch_global)
+
+        # Per-output-channel symmetric weight quantization.
+        self._wq, self._wscale = [], []
+        for w, b in self.fold.convs + [self.fold.emb_conv]:
+            ws = np.maximum(np.abs(w).max(axis=(0, 1, 2)), 1e-12) / 127.0
+            self._wq.append(
+                jnp.asarray(np.clip(np.round(w / ws), -127, 127), jnp.int8)
+            )
+            self._wscale.append(jnp.asarray(ws, jnp.float32))
+        self._biases = [
+            jnp.asarray(b, jnp.float32)
+            for _, b in self.fold.convs + [self.fold.emb_conv]
+        ]
+        self._act_scales = None  # set by calibrate()
+
+        self._calib_fn = jax.jit(
+            partial(folded_forward, self.fold, pool=self.pool,
+                    f32_frontend=False, collect_amax=True)
+        )
+        self._embed_fn = jax.jit(self._quantized_forward)
+
+    # -- calibration ---------------------------------------------------
+    def calibrate(self, windows: np.ndarray, batch_size: int = 128):
+        """Set static activation scales from representative windows."""
+        amax = None
+        for i in range(0, len(windows), batch_size):
+            chunk = np.asarray(windows[i:i + batch_size], np.float32)
+            _, a = self._calib_fn(chunk)
+            a = np.asarray(a)
+            amax = a if amax is None else np.maximum(amax, a)
+        self._act_scales = jnp.asarray(
+            np.maximum(amax, 1e-12) / 127.0, jnp.float32
+        )
+        return np.asarray(amax)
+
+    # -- inference -----------------------------------------------------
+    def _quantized_forward(self, act_scales, audio):
+        if audio.ndim == 3:
+            audio = audio[:, 0, :]
+        y = _frontend_features(self.fold, audio, f32=False)
+
+        def quant(y, s):
+            return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+
+        q = quant(y, act_scales[0])
+        for i in range(7):
+            z = _conv(q, self._wq[i], jnp.int32)
+            # Dequant + bias + relu + requant in one fused epilogue;
+            # activations stay int8 through the pools.
+            deq = act_scales[i] * self._wscale[i]
+            y = jnp.maximum(z.astype(jnp.float32) * deq + self._biases[i], 0.0)
+            q = quant(y, act_scales[i + 1])
+            if i in _POOL_AFTER:
+                q = jax.lax.reduce_window(
+                    q, jnp.int8(-128), jax.lax.max,
+                    (1, 2, 2, 1), (1, 2, 2, 1), "VALID",
+                )
+        z = _conv(q, self._wq[7], jnp.int32)
+        deq = act_scales[7] * self._wscale[7]
+        feat = z.astype(jnp.float32) * deq + self._biases[7]
+        return _pool_flatten(feat, self.pool)
+
+    def embed_windows(self, windows: np.ndarray) -> np.ndarray:
+        if self._act_scales is None:
+            raise RuntimeError(
+                "QuantizedAudioEmbedder.calibrate(windows) must run before "
+                "embed_windows — static int8 scales come from calibration"
+            )
+        x = np.asarray(windows, np.float32)
+        return np.asarray(self._embed_fn(self._act_scales, x))
+
+    # -- gating --------------------------------------------------------
+    def embedding_cosine(self, windows: np.ndarray):
+        """Min/mean cosine of int8 embeddings vs the BN-folded f32 tower
+        (HIGHEST-precision front-end) on `windows`."""
+        x = np.asarray(windows, np.float32)
+        got = self.embed_windows(x)
+        ref_fn = jax.jit(
+            partial(folded_forward, self.fold, pool=self.pool,
+                    f32_frontend=True)
+        )
+        want = np.asarray(ref_fn(x))
+        num = (got * want).sum(axis=1)
+        den = np.linalg.norm(got, axis=1) * np.linalg.norm(want, axis=1)
+        cos = num / np.maximum(den, 1e-12)
+        return float(cos.min()), float(cos.mean())

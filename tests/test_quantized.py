@@ -1,0 +1,104 @@
+"""Int8 quantized extraction (embed/quantized.py).
+
+BN folding must reproduce the f32 tower exactly (it is pure algebra),
+and the int8 path must land close enough to make the measured-cosine
+gate meaningful. The serving-grade cosine number on trained weights is
+measured on-chip by bench.py --parity / tools; these tests pin the
+machinery on CPU with a random-init tower.
+"""
+
+import numpy as np
+import pytest
+
+from l3embedding_tpu.embed.quantized import (
+    QuantizedAudioEmbedder,
+    fold_audio_tower,
+    folded_forward,
+)
+from l3embedding_tpu.models import audio_embedding_fn, build_model
+
+MODEL = "cnn_L3_melspec1"  # half the mel bins of melspec2, same structure
+
+
+def _variables(model_type=MODEL, seed=0):
+    import jax
+
+    spec = build_model(model_type)
+    model = spec.module()
+    return model.init(
+        jax.random.PRNGKey(seed),
+        np.zeros((1,) + tuple(spec.video_input_shape), np.float32),
+        np.zeros((1,) + tuple(spec.audio_input_shape), np.float32),
+        train=False,
+    )
+
+
+def _audio(n, seed=0):
+    """Synthetic but audio-like: summed random tones + noise in [-1, 1]."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(48000) / 48000.0
+    out = np.zeros((n, 48000), np.float32)
+    for i in range(n):
+        for _ in range(4):
+            out[i] += rng.rand() * np.sin(
+                2 * np.pi * rng.uniform(50, 8000) * t + rng.rand() * 6.28
+            )
+        out[i] += 0.1 * rng.randn(48000)
+        out[i] /= np.abs(out[i]).max() + 1e-9
+    return out
+
+
+@pytest.fixture(scope="module")
+def variables():
+    return _variables()
+
+
+def test_fold_matches_full_tower(variables):
+    """BN-folded forward == the flax tower's extraction path (algebraic
+    identity, up to f32 rounding)."""
+    import jax
+
+    fold = fold_audio_tower(variables, MODEL)
+    pool = build_model(MODEL).audio_embedding_pooling["short"]
+    x = _audio(2, seed=1)
+
+    want = np.asarray(jax.jit(audio_embedding_fn(MODEL, "short"))(variables, x))
+    got = np.asarray(folded_forward(fold, x, pool, f32_frontend=True))
+
+    assert got.shape == want.shape == (2, 512)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=2e-3 * scale, rtol=0)
+
+
+def test_quantized_cosine(variables):
+    """Calibrate on one batch, embed a held-out batch: int8 embeddings
+    must track the folded-f32 tower closely even on a random-init net."""
+    q = QuantizedAudioEmbedder(None, MODEL, "short", variables=variables)
+    q.calibrate(_audio(4, seed=2))
+    mn, mean = q.embedding_cosine(_audio(3, seed=3))
+    # Bound is deliberately below the measured value (so the test pins
+    # the machinery, not the RNG); trained-weight gating is measured
+    # on-chip (bench.py --parity / docs/DESIGN.md).
+    assert mn > 0.98, (mn, mean)
+    assert mean > 0.99, (mn, mean)
+
+
+def test_embed_requires_calibration(variables):
+    q = QuantizedAudioEmbedder(None, MODEL, "short", variables=variables)
+    with pytest.raises(RuntimeError, match="calibrate"):
+        q.embed_windows(_audio(1))
+
+
+def test_tiny_rejected():
+    variables = _variables("tiny_L3")
+    with pytest.raises(ValueError, match="quantization"):
+        QuantizedAudioEmbedder(None, "tiny_L3", variables=variables)
+
+
+def test_weight_quant_is_per_channel(variables):
+    q = QuantizedAudioEmbedder(None, MODEL, "short", variables=variables)
+    # One scale per output channel, int8 weights actually use the range.
+    for wq, ws, (w, _) in zip(q._wq, q._wscale, q.fold.convs + [q.fold.emb_conv]):
+        assert ws.shape == (w.shape[-1],)
+        assert np.asarray(wq).dtype == np.int8
+        assert np.abs(np.asarray(wq)).max() == 127
