@@ -56,6 +56,17 @@ def parse_arguments():
     parser.add_argument("--fast", dest="fast", action="store_true",
                         help="bf16 extraction tower (higher throughput; "
                         "feature cosine vs the fp32 parity path >= 0.9999)")
+    parser.add_argument("--int8", dest="int8", action="store_true",
+                        help="int8 post-training-quantized tower (BN "
+                        "folding + per-channel weights + calibrated "
+                        "static activation scales; embed/quantized.py). "
+                        "Calibrates on --int8-calib-files files sampled "
+                        "evenly from the dataset, then freezes scales so "
+                        "features are file-order-independent")
+    parser.add_argument("--int8-calib-files", dest="int8_calib_files",
+                        type=int, default=8,
+                        help="Number of dataset files used for int8 "
+                        "activation-scale calibration")
     parser.add_argument("--fold", dest="fold", type=int,
                         help="Fold number to generate; all folds if unset")
     parser.add_argument("-ump", "--us8k-metadata-path",
@@ -99,11 +110,42 @@ if __name__ == "__main__":
         )
         model_type = embedding_desc_str.split("/")[-1]
         LOGGER.info("Loading embedding model (%s)...", model_type)
-        l3embedding_model = EmbeddingExtractor(
-            model_path, model_type, pooling_type,
-            fast=args["fast"],
-            db_batch_global=args["db_batch_global"],
-        )
+        if args["int8"]:
+            import glob as _glob
+
+            from l3embedding_tpu.embed import QuantizedEmbeddingExtractor
+
+            l3embedding_model = QuantizedEmbeddingExtractor(
+                model_path, model_type, pooling_type,
+                db_batch_global=args["db_batch_global"],
+            )
+            wavs = sorted(
+                _glob.glob(
+                    os.path.join(args["data_dir"], "**", "*.wav"),
+                    recursive=True,
+                )
+            ) or sorted(
+                _glob.glob(
+                    os.path.join(args["data_dir"], "**", "*.WAV"),
+                    recursive=True,
+                )
+            )
+            if not wavs:
+                raise ValueError(
+                    f"--int8 calibration found no .wav files under "
+                    f"{args['data_dir']}"
+                )
+            n = min(args["int8_calib_files"], len(wavs))
+            step = max(1, len(wavs) // n)
+            calib = wavs[::step][:n]
+            LOGGER.info("Calibrating int8 scales on %d files...", n)
+            l3embedding_model.calibrate_files(calib, hop_size=args["hop_size"])
+        else:
+            l3embedding_model = EmbeddingExtractor(
+                model_path, model_type, pooling_type,
+                fast=args["fast"],
+                db_batch_global=args["db_batch_global"],
+            )
     else:
         dataset_output_dir = os.path.join(
             args["output_dir"], "features", dataset_name, features

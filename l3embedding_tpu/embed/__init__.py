@@ -1,4 +1,7 @@
 """Embedding extraction: windowed batched inference over audio files."""
 
 from .extract import EmbeddingExtractor, frame_uniform  # noqa: F401
-from .quantized import QuantizedAudioEmbedder  # noqa: F401
+from .quantized import (  # noqa: F401
+    QuantizedAudioEmbedder,
+    QuantizedEmbeddingExtractor,
+)

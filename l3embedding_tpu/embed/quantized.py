@@ -298,3 +298,66 @@ class QuantizedAudioEmbedder:
         den = np.linalg.norm(got, axis=1) * np.linalg.norm(want, axis=1)
         cos = num / np.maximum(den, 1e-12)
         return float(cos.min()), float(cos.mean())
+
+
+class QuantizedEmbeddingExtractor:
+    """File-level int8 extractor with EmbeddingExtractor's interface
+    (embed_windows / embed_audio / embed_file, same framing + batch
+    bucketing), for the `05 --int8` path.
+
+    Calibration: call `calibrate_files(paths)` once with a handful of
+    representative audio files before extraction; scales are then frozen
+    so features stay file-order-independent (zero-padding in the bucket
+    is exact under symmetric quantization).
+    """
+
+    def __init__(
+        self,
+        weights_path: str | None,
+        model_type: str,
+        pooling_type: str = "original",
+        sr: int = 48000,
+        db_batch_global: bool = False,
+        variables=None,
+    ):
+        self.q = QuantizedAudioEmbedder(
+            weights_path, model_type, pooling_type,
+            db_batch_global=db_batch_global, variables=variables,
+        )
+        self.sr = sr
+
+    def calibrate_files(self, paths, hop_size: float = 0.1):
+        from ..data.audio_io import load_audio
+        from .extract import frame_uniform
+
+        windows = [
+            frame_uniform(load_audio(p, self.sr), self.sr, hop_size)
+            for p in paths
+        ]
+        amax = self.q.calibrate(np.concatenate(windows))
+        LOGGER.info(
+            "int8 calibration over %d files (%d windows); amax per conv "
+            "input: %s", len(paths), sum(len(w) for w in windows),
+            np.array2string(amax, precision=3),
+        )
+
+    def embed_windows(self, windows: np.ndarray) -> np.ndarray:
+        from .extract import _bucket
+
+        n = windows.shape[0]
+        bucket = _bucket(n)
+        if bucket != n:
+            windows = np.concatenate(
+                [windows, np.zeros((bucket - n, windows.shape[1]), np.float32)]
+            )
+        return self.q.embed_windows(windows)[:n]
+
+    def embed_audio(self, audio: np.ndarray, hop_size: float = 0.1) -> np.ndarray:
+        from .extract import frame_uniform
+
+        return self.embed_windows(frame_uniform(audio, self.sr, hop_size))
+
+    def embed_file(self, path: str, hop_size: float = 0.1) -> np.ndarray:
+        from ..data.audio_io import load_audio
+
+        return self.embed_audio(load_audio(path, self.sr), hop_size=hop_size)

@@ -95,6 +95,25 @@ def test_tiny_rejected():
         QuantizedAudioEmbedder(None, "tiny_L3", variables=variables)
 
 
+def test_file_level_extractor(variables, tmp_path):
+    """QuantizedEmbeddingExtractor: calibrate on wav files, embed a file
+    — the `05 --int8` path (framing + bucketing + frozen scales)."""
+    from l3embedding_tpu.data.audio_io import write_wav
+    from l3embedding_tpu.embed.quantized import QuantizedEmbeddingExtractor
+
+    paths = []
+    for i, clip in enumerate(_audio(2, seed=5)):
+        p = str(tmp_path / f"c{i}.wav")
+        write_wav(p, clip[:24000], 48000)  # 0.5 s -> pads to one window
+        paths.append(p)
+
+    ex = QuantizedEmbeddingExtractor(None, MODEL, "short", variables=variables)
+    ex.calibrate_files(paths)
+    emb = ex.embed_file(paths[0])
+    assert emb.shape == (1, 512)
+    assert np.isfinite(emb).all() and np.abs(emb).max() > 0
+
+
 def test_weight_quant_is_per_channel(variables):
     q = QuantizedAudioEmbedder(None, MODEL, "short", variables=variables)
     # One scale per output channel, int8 weights actually use the range.
