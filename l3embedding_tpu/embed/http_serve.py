@@ -225,6 +225,12 @@ def main(argv=None):
     p.add_argument("--max-latency-ms", type=float, default=5.0)
     p.add_argument("--mesh", action="store_true",
                    help="shard window batches over all local devices")
+    p.add_argument("--int8", action="store_true",
+                   help="serve the int8 post-training-quantized tower "
+                        "(embed/quantized.py); requires --int8-calib")
+    p.add_argument("--int8-calib", default=None,
+                   help="directory of representative .wav files used to "
+                        "calibrate int8 activation scales at startup")
     args = p.parse_args(argv)
 
     mesh = None
@@ -232,10 +238,32 @@ def main(argv=None):
         from ..parallel import create_mesh
 
         mesh = create_mesh()
-    extractor = EmbeddingExtractor(
-        args.weights, args.model_type, args.pooling,
-        fast=args.fast, mesh=mesh,
-    )
+    if args.int8:
+        import glob as _glob
+        import os as _os
+
+        from .quantized import QuantizedEmbeddingExtractor
+
+        if args.mesh:
+            p.error("--int8 serves single-chip (no mesh sharding yet)")
+        if not args.int8_calib:
+            p.error("--int8 requires --int8-calib DIR (.wav files)")
+        wavs = sorted(
+            _glob.glob(_os.path.join(args.int8_calib, "**", "*.wav"),
+                       recursive=True)
+        )
+        if not wavs:
+            p.error(f"no .wav files under --int8-calib {args.int8_calib}")
+        extractor = QuantizedEmbeddingExtractor(
+            args.weights, args.model_type, args.pooling
+        )
+        LOGGER.info("calibrating int8 scales on %d files", len(wavs[:32]))
+        extractor.calibrate_files(wavs[:32])
+    else:
+        extractor = EmbeddingExtractor(
+            args.weights, args.model_type, args.pooling,
+            fast=args.fast, mesh=mesh,
+        )
     server = make_server(
         extractor, args.host, args.port,
         max_batch_size=args.max_batch_size,

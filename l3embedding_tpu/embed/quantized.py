@@ -325,6 +325,9 @@ class QuantizedEmbeddingExtractor:
             db_batch_global=db_batch_global, variables=variables,
         )
         self.sr = sr
+        # Interface parity with EmbeddingExtractor (http_serve /healthz).
+        self.model_type = model_type
+        self.pooling_type = pooling_type
 
     def calibrate_files(self, paths, hop_size: float = 0.1):
         from ..data.audio_io import load_audio

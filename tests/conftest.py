@@ -21,4 +21,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache (verified to work on XLA:CPU in this jax):
+# the suite's dominant cost is re-compiling the full towers every run —
+# cached, repeat runs skip it. Keyed by backend+HLO, so it is
+# correctness-safe and separate from the TPU cache (~/.cache/jax_comp).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/jax_comp_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -95,23 +95,76 @@ def test_tiny_rejected():
         QuantizedAudioEmbedder(None, "tiny_L3", variables=variables)
 
 
-def test_file_level_extractor(variables, tmp_path):
-    """QuantizedEmbeddingExtractor: calibrate on wav files, embed a file
-    — the `05 --int8` path (framing + bucketing + frozen scales)."""
+@pytest.fixture(scope="module")
+def file_extractor(variables, tmp_path_factory):
+    """Calibrated file-level int8 extractor shared by the file + serving
+    tests (one compile of the bucket-16 program)."""
     from l3embedding_tpu.data.audio_io import write_wav
     from l3embedding_tpu.embed.quantized import QuantizedEmbeddingExtractor
 
+    import l3embedding_tpu.embed.extract as extract_mod
+
+    d = tmp_path_factory.mktemp("int8wavs")
     paths = []
     for i, clip in enumerate(_audio(2, seed=5)):
-        p = str(tmp_path / f"c{i}.wav")
+        p = str(d / f"c{i}.wav")
         write_wav(p, clip[:24000], 48000)  # 0.5 s -> pads to one window
         paths.append(p)
-
     ex = QuantizedEmbeddingExtractor(None, MODEL, "short", variables=variables)
     ex.calibrate_files(paths)
+    # Shrink the batch buckets for the duration of this module: these
+    # tests embed 1-2 windows at a time, and on the single test CPU the
+    # full tower at the production min-bucket of 16 is ~8x wasted work.
+    old_buckets = extract_mod.BUCKETS
+    extract_mod.BUCKETS = (2, 4, 8) + old_buckets
+    yield ex, paths
+    extract_mod.BUCKETS = old_buckets
+
+
+def test_file_level_extractor(file_extractor):
+    """QuantizedEmbeddingExtractor: calibrate on wav files, embed a file
+    — the `05 --int8` path (framing + bucketing + frozen scales)."""
+    ex, paths = file_extractor
     emb = ex.embed_file(paths[0])
     assert emb.shape == (1, 512)
     assert np.isfinite(emb).all() and np.abs(emb).max() > 0
+
+
+def test_http_serving_int8(file_extractor):
+    """The micro-batching HTTP service duck-types on embed_windows: the
+    int8 extractor serves through it unchanged (the --int8 serve path)."""
+    import json
+    import urllib.request
+
+    from l3embedding_tpu.embed.http_serve import (
+        make_server,
+        serve_forever_in_thread,
+    )
+
+    ex, _ = file_extractor
+    srv = make_server(ex, host="127.0.0.1", port=0, max_latency_ms=20)
+    serve_forever_in_thread(srv)
+    try:
+        host, port = srv.server_address
+        with urllib.request.urlopen(f"http://{host}:{port}/healthz") as r:
+            body = json.load(r)
+        assert body["model_type"] == MODEL
+        assert body["dim"] == 512
+
+        clip = _audio(1, seed=7)[0]
+        req = urllib.request.Request(
+            f"http://{host}:{port}/v1/embed",
+            data=json.dumps({"audio": clip.tolist(), "sr": 48000}).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = json.load(r)
+        assert out["dim"] == 512
+        emb = np.asarray(out["embeddings"], np.float32)
+        assert emb.shape[1] == 512 and np.isfinite(emb).all()
+    finally:
+        srv.shutdown()
+        srv.l3_service.close()
 
 
 def test_weight_quant_is_per_channel(variables):
