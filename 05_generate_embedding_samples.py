@@ -67,6 +67,18 @@ def parse_arguments():
                         type=int, default=8,
                         help="Number of dataset files used for int8 "
                         "activation-scale calibration")
+    parser.add_argument("--int8-min-cosine", dest="int8_min_cosine",
+                        type=float, default=0.999,
+                        help="Refuse to extract if the int8 tower's "
+                        "measured min cosine vs the BN-folded f32 tower "
+                        "on the calibration windows is below this (the "
+                        "BASELINE parity gate). 0 disables the gate")
+    parser.add_argument("--int8-calib-method", dest="int8_calib_method",
+                        choices=["amax", "percentile"], default="amax",
+                        help="Activation-scale calibration: clip at the "
+                        "observed absolute max, or at the 99.99th "
+                        "percentile of |activations| (finer step, "
+                        "saturates rare outliers)")
     parser.add_argument("--fold", dest="fold", type=int,
                         help="Fold number to generate; all folds if unset")
     parser.add_argument("-ump", "--us8k-metadata-path",
@@ -139,7 +151,12 @@ if __name__ == "__main__":
             step = max(1, len(wavs) // n)
             calib = wavs[::step][:n]
             LOGGER.info("Calibrating int8 scales on %d files...", n)
-            l3embedding_model.calibrate_files(calib, hop_size=args["hop_size"])
+            gate = args["int8_min_cosine"]
+            l3embedding_model.calibrate_files(
+                calib, hop_size=args["hop_size"],
+                method=args["int8_calib_method"],
+                min_cosine=gate if gate > 0 else None,
+            )
         else:
             l3embedding_model = EmbeddingExtractor(
                 model_path, model_type, pooling_type,

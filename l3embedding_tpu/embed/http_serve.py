@@ -80,10 +80,21 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            # Announce the close so HTTP/1.1 clients don't try to reuse
+            # the connection we're about to drop.
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
     def _reply_error(self, code: int, message: str) -> None:
+        # Error paths can fire before the request body was consumed
+        # (missing/zero Content-Length, oversized body, bad headers).
+        # Under HTTP/1.1 keep-alive the unread bytes would be parsed as
+        # the NEXT request line on this connection, desyncing the
+        # client; closing the connection after an error reply is always
+        # protocol-correct.
+        self.close_connection = True
         self._reply_json(code, {"error": message})
 
     def _read_body(self) -> bytes:
@@ -231,6 +242,21 @@ def main(argv=None):
     p.add_argument("--int8-calib", default=None,
                    help="directory of representative .wav files used to "
                         "calibrate int8 activation scales at startup")
+    p.add_argument("--int8-calib-files", type=int, default=32,
+                   help="number of calibration files, sampled evenly "
+                        "across the sorted file list (matches the 05 "
+                        "CLI; a sorted-order prefix would bias scales "
+                        "toward one class in class-per-directory "
+                        "layouts)")
+    p.add_argument("--int8-min-cosine", type=float, default=0.999,
+                   help="refuse to serve if the int8 tower's measured "
+                        "min cosine vs the BN-folded f32 tower on the "
+                        "calibration windows is below this (the "
+                        "BASELINE parity gate). 0 disables the gate")
+    p.add_argument("--int8-calib-method", choices=["amax", "percentile"],
+                   default="amax",
+                   help="clip activation scales at the absolute max or "
+                        "the 99.99th percentile of |activations|")
     args = p.parse_args(argv)
 
     mesh = None
@@ -257,8 +283,19 @@ def main(argv=None):
         extractor = QuantizedEmbeddingExtractor(
             args.weights, args.model_type, args.pooling
         )
-        LOGGER.info("calibrating int8 scales on %d files", len(wavs[:32]))
-        extractor.calibrate_files(wavs[:32])
+        # Sample evenly across the sorted list (same recipe as the 05
+        # CLI): a plain prefix of a class-per-directory tree would
+        # calibrate on one class only.
+        n = min(args.int8_calib_files, len(wavs))
+        step = max(1, len(wavs) // n)
+        calib = wavs[::step][:n]
+        LOGGER.info("calibrating int8 scales on %d of %d files",
+                    len(calib), len(wavs))
+        gate = args.int8_min_cosine
+        extractor.calibrate_files(
+            calib, method=args.int8_calib_method,
+            min_cosine=gate if gate > 0 else None,
+        )
     else:
         extractor = EmbeddingExtractor(
             args.weights, args.model_type, args.pooling,

@@ -48,6 +48,10 @@ from ..training import checkpoints
 
 LOGGER = logging.getLogger("l3embedding_tpu.embed")
 
+
+class IntEightAccuracyError(RuntimeError):
+    """Raised when the measured int8-vs-f32 cosine misses the gate."""
+
 # Layer indices (of the 7 ConvBNRelu blocks) followed by a 2x2 pool
 # (reference audio_model.py:45-95: pools close blocks 1-3; block 4's
 # pool sits after the embedding tap and never runs at extraction).
@@ -154,25 +158,37 @@ def _frontend_features(fold: _FoldedTower, audio, f32: bool):
 
 
 def folded_forward(fold: _FoldedTower, audio, pool, *, f32_frontend=True,
-                   collect_amax=False):
+                   collect_amax=False, collect_pct=None):
     """BN-folded f32 reference forward. Returns embeddings, and with
     collect_amax=True also the per-conv-input amax values used for
-    calibration (8 scalars: 7 blocks + embedding conv)."""
+    calibration (8 scalars: 7 blocks + embedding conv). collect_pct=P
+    additionally returns the per-conv-input P-th percentile of
+    |activations| (computed on device — full tensors never leave the
+    chip)."""
     if audio.ndim == 3:
         audio = audio[:, 0, :]
     y = _frontend_features(fold, audio, f32=f32_frontend)
-    amaxes = []
+    amaxes, pcts = [], []
+
+    def observe(y):
+        a = jnp.abs(y)
+        amaxes.append(jnp.max(a))
+        if collect_pct is not None:
+            pcts.append(jnp.percentile(a.astype(jnp.float32), collect_pct))
+
     for i, (w, b) in enumerate(fold.convs):
-        amaxes.append(jnp.max(jnp.abs(y)))
+        observe(y)
         y = jnp.maximum(_conv(y, jnp.asarray(w), jnp.float32) + b, 0.0)
         if i in _POOL_AFTER:
             y = jax.lax.reduce_window(
                 y, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
             )
-    amaxes.append(jnp.max(jnp.abs(y)))
+    observe(y)
     w, b = fold.emb_conv
     feat = _conv(y, jnp.asarray(w), jnp.float32) + b
     emb = _pool_flatten(feat, pool)
+    if collect_pct is not None:
+        return emb, jnp.stack(amaxes), jnp.stack(pcts)
     if collect_amax:
         return emb, jnp.stack(amaxes)
     return emb
@@ -234,16 +250,41 @@ class QuantizedAudioEmbedder:
         self._embed_fn = jax.jit(self._quantized_forward)
 
     # -- calibration ---------------------------------------------------
-    def calibrate(self, windows: np.ndarray, batch_size: int = 128):
-        """Set static activation scales from representative windows."""
-        amax = None
+    def calibrate(self, windows: np.ndarray, batch_size: int = 128,
+                  method: str = "amax", percentile: float = 99.99):
+        """Set static activation scales from representative windows.
+
+        method='amax' clips at the observed absolute maximum (exact
+        range, coarsest step). method='percentile' clips at the given
+        per-tensor percentile of |activations| (pooled over every
+        calibration batch), trading rare-outlier saturation for a finer
+        quantization step — the standard fallback when amax calibration
+        misses the accuracy gate.
+        """
+        if method not in ("amax", "percentile"):
+            raise ValueError(f"unknown calibration method {method!r}")
+        amax, pct = None, None
+        if method == "percentile":
+            pct_fn = jax.jit(
+                partial(folded_forward, self.fold, pool=self.pool,
+                        f32_frontend=False, collect_pct=float(percentile))
+            )
         for i in range(0, len(windows), batch_size):
             chunk = np.asarray(windows[i:i + batch_size], np.float32)
-            _, a = self._calib_fn(chunk)
+            if method == "percentile":
+                _, a, p = pct_fn(chunk)
+                p = np.asarray(p)
+                # Max over batches: conservative pooling of per-batch
+                # percentiles (exact pooling would need the full
+                # distribution on host).
+                pct = p if pct is None else np.maximum(pct, p)
+            else:
+                _, a = self._calib_fn(chunk)
             a = np.asarray(a)
             amax = a if amax is None else np.maximum(amax, a)
+        clip = pct if method == "percentile" else amax
         self._act_scales = jnp.asarray(
-            np.maximum(amax, 1e-12) / 127.0, jnp.float32
+            np.maximum(clip, 1e-12) / 127.0, jnp.float32
         )
         return np.asarray(amax)
 
@@ -328,8 +369,24 @@ class QuantizedEmbeddingExtractor:
         # Interface parity with EmbeddingExtractor (http_serve /healthz).
         self.model_type = model_type
         self.pooling_type = pooling_type
+        self.calib_cosine = None  # (min, mean) set by calibrate_files
 
-    def calibrate_files(self, paths, hop_size: float = 0.1):
+    def calibrate_files(self, paths, hop_size: float = 0.1,
+                        method: str = "amax", percentile: float = 99.99,
+                        min_cosine: float | None = 0.999,
+                        gate_windows: int = 256):
+        """Calibrate static int8 scales AND measure the accuracy gate.
+
+        After setting scales, the int8 tower's min/mean cosine vs the
+        BN-folded f32 tower is measured on (up to `gate_windows` of) the
+        calibration windows and logged; the result is kept in
+        `self.calib_cosine`. If `min_cosine` is not None and the min
+        cosine lands below it, IntEightAccuracyError is raised — a user
+        must override explicitly (min_cosine=None or a lower value) to
+        generate features from a tower that misses the BASELINE 0.999
+        gate (VERDICT r3: accuracy must be measured in-path, not
+        assumed).
+        """
         from ..data.audio_io import load_audio
         from .extract import frame_uniform
 
@@ -337,12 +394,34 @@ class QuantizedEmbeddingExtractor:
             frame_uniform(load_audio(p, self.sr), self.sr, hop_size)
             for p in paths
         ]
-        amax = self.q.calibrate(np.concatenate(windows))
+        allw = np.concatenate(windows)
+        amax = self.q.calibrate(allw, method=method, percentile=percentile)
         LOGGER.info(
-            "int8 calibration over %d files (%d windows); amax per conv "
-            "input: %s", len(paths), sum(len(w) for w in windows),
+            "int8 calibration (%s) over %d files (%d windows); amax per "
+            "conv input: %s", method, len(paths), len(allw),
             np.array2string(amax, precision=3),
         )
+        # Evenly-sampled subset keeps the gate measurement O(seconds)
+        # while still spanning every calibration file.
+        step = max(1, len(allw) // gate_windows)
+        gate_set = allw[::step][:gate_windows]
+        cmin, cmean = self.q.embedding_cosine(gate_set)
+        self.calib_cosine = (cmin, cmean)
+        LOGGER.info(
+            "int8 vs folded-f32 cosine on %d calibration windows: "
+            "min %.6f mean %.6f (gate %s)", len(gate_set), cmin, cmean,
+            "none" if min_cosine is None else f"{min_cosine:g}",
+        )
+        if min_cosine is not None and cmin < min_cosine:
+            raise IntEightAccuracyError(
+                f"int8 tower measured min cosine {cmin:.6f} vs the "
+                f"BN-folded f32 tower on {len(gate_set)} calibration "
+                f"windows — below the required {min_cosine:g}. Try "
+                f"method='percentile' calibration, more representative "
+                f"calibration files, or override the gate explicitly "
+                f"(--int8-min-cosine 0 disables it)."
+            )
+        return self.calib_cosine
 
     def embed_windows(self, windows: np.ndarray) -> np.ndarray:
         from .extract import _bucket

@@ -16,6 +16,8 @@ import os
 import threading
 from typing import Any
 
+import numpy as np
+
 # Column schemas mirroring reference gsheets.py:11-73.
 EMBEDDING_FIELD_NAMES = [
     "username", "model_dir", "model_type", "train_data_dir",
@@ -57,6 +59,15 @@ def _sanitize(obj):
     """
     if isinstance(obj, float):
         return obj if math.isfinite(obj) else None
+    if isinstance(obj, np.floating):
+        # np.float32/np.float16 scalars are NOT `float` subclasses (only
+        # np.float64 is); without this branch a NaN np.float32 bypasses
+        # the finite check and default=str serializes it as the STRING
+        # "nan" — type-inconsistent with the null other rows carry.
+        f = float(obj)
+        return f if math.isfinite(f) else None
+    if isinstance(obj, np.integer):
+        return int(obj)
     if isinstance(obj, dict):
         return {k: _sanitize(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):

@@ -54,6 +54,19 @@ def test_bench_both_modes_json_contract():
     )
 
 
+def test_bench_both_honors_dtype_for_extract():
+    """ADVICE r3: --mode both used to benchmark bf16 extraction even
+    under --dtype f32; the headline leg must follow --dtype and the
+    artifact must say which dtype it measured. No train-denominated
+    extraction ratio may appear (VERDICT r3 weak #5)."""
+    out = run_bench("--dtype", "f32")
+    extra = out["extra"]
+    assert extra["extract_dtype"] == "f32"
+    assert extra["extract_clips_per_sec"] > 0
+    assert extra["extract_clips_per_sec_bf16"] > 0
+    assert "extract_vs_ref_4gpu_aggregate" not in extra
+
+
 def test_bench_extract_mode():
     # Default extraction dtype is now bf16 (passes the 0.999 parity
     # gate, see bench_parity); the f32 tower keeps the unsuffixed name.

@@ -339,6 +339,52 @@ class TestHTTPServing:
         finally:
             conn.close()
 
+    def test_error_reply_closes_keepalive_connection(self, server):
+        """ADVICE r3: an error reply sent before the request body was
+        consumed (here: X-Num-Windows <= 0 raises before _read_body)
+        leaves unread body bytes on a keep-alive connection; the next
+        request would parse those bytes as a request line. The server
+        must announce+perform a connection close on every error reply,
+        and a fresh connection must work normally afterwards."""
+        import http.client
+
+        srv, _ = server
+        host, port = srv.server_address[0], srv.server_address[1]
+        payload = np.zeros((1, 48000), np.float32).tobytes()
+        conn = http.client.HTTPConnection(host, port, timeout=120)
+        try:
+            conn.request(
+                "POST", "/v1/embed_windows", body=payload,
+                headers={"Content-Type": "application/octet-stream",
+                         "X-Num-Windows": "0"},  # error BEFORE body read
+            )
+            resp = conn.getresponse()
+            assert resp.status == 400
+            assert resp.headers.get("Connection", "").lower() == "close"
+            resp.read()
+            # The server hung up: reusing the connection must fail (the
+            # stdlib client auto-reconnects, so probe the raw socket).
+            with pytest.raises(
+                (http.client.HTTPException, ConnectionError, OSError)
+            ):
+                conn.send(b"GET /healthz HTTP/1.1\r\n")
+                conn.sock.settimeout(5)
+                if conn.sock.recv(1) == b"":
+                    raise ConnectionError("server closed the connection")
+        finally:
+            conn.close()
+        # And a new connection still round-trips a good request.
+        conn = http.client.HTTPConnection(host, port, timeout=120)
+        try:
+            conn.request(
+                "POST", "/v1/embed_windows", body=payload,
+                headers={"Content-Type": "application/octet-stream",
+                         "X-Num-Windows": "1"},
+            )
+            assert conn.getresponse().status == 200
+        finally:
+            conn.close()
+
     def test_error_paths(self, server):
         import urllib.error
         import urllib.request

@@ -180,6 +180,43 @@ def _reject(token):
     raise AssertionError(f"non-strict JSON token emitted: {token}")
 
 
+def test_jsonl_tracker_sanitizes_numpy_scalars(tmp_path):
+    """ADVICE r3: np.float32 is not a `float` subclass, so a NaN
+    np.float32 used to bypass the finite check and serialize via
+    default=str as the STRING "nan". All numpy floats must normalize to
+    float/null and numpy ints to int."""
+    import numpy as np
+
+    path = str(tmp_path / "exp.jsonl")
+    t = JSONLTracker(path)
+    t.upsert({"model_dir": "/runs/np"})
+    t.update(
+        "/runs/np",
+        {
+            "f32_nan": np.float32("nan"),
+            "f32_inf": np.float32("inf"),
+            "f32_ok": np.float32(0.25),
+            "f16_nan": np.float16("nan"),
+            "f64_nan": np.float64("nan"),
+            "i64": np.int64(7),
+        },
+    )
+    with open(path) as f:
+        lines = f.read().splitlines()
+    vals = json.loads(lines[-1], parse_constant=_reject)["values"]
+    assert vals["f32_nan"] is None
+    assert vals["f32_inf"] is None
+    assert vals["f32_ok"] == 0.25
+    assert vals["f16_nan"] is None
+    assert vals["f64_nan"] is None
+    assert vals["i64"] == 7
+    assert "nan" not in [v for v in vals.values() if isinstance(v, str)]
+    with open(t.state_path) as f:
+        state = json.load(f, parse_constant=_reject)
+    assert state["/runs/np"]["f32_nan"] is None
+    assert state["/runs/np"]["i64"] == 7
+
+
 def test_google_credentials_service_account_and_user_token(tmp_path,
                                                            monkeypatch):
     """Credential resolution covers BOTH key kinds (closing the last
