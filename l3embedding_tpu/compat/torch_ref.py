@@ -93,6 +93,66 @@ def torch_vision_forward(variables, x_nhwc, input_bn=True):
     return out.numpy(), feat.numpy().transpose(0, 2, 3, 1)
 
 
+def torch_vggish_forward(params, examples):
+    """Independent NCHW torch implementation of the VGGish conv stack
+    (reference data/usc/vggish/vggish_slim.py:38-128), written from
+    Google's published architecture description: (B, 96, 64, 1) log-mel
+    patches → [conv64, pool, conv128, pool, conv256 x2, pool,
+    conv512 x2, pool] → flatten → fc4096 x2 → fc128, ReLU everywhere
+    (slim's fully_connected default). The flatten follows TF's
+    channels-last layout, so the NCHW tensor is permuted back to NHWC
+    before flattening — exactly what validates the flax fc1_1 kernel's
+    input ordering.
+
+    `params` is the flax VGGish params dict; returns (B, 128) numpy.
+    """
+    x = np.asarray(examples, np.float32)
+    if x.ndim == 3:
+        x = x[..., None]
+    t = torch.from_numpy(x.transpose(0, 3, 1, 2).copy())
+
+    def fc(name):
+        w = np.asarray(params[name]["kernel"])  # (in, out)
+        b = np.asarray(params[name]["bias"])
+        lin = torch.nn.Linear(w.shape[0], w.shape[1])
+        lin.weight.data = torch.from_numpy(w.T.copy())
+        lin.bias.data = torch.from_numpy(b.copy())
+        return lin
+
+    pool = torch.nn.MaxPool2d(2, 2)
+    with torch.no_grad():
+        for names in (("conv1",), ("conv2",), ("conv3_1", "conv3_2"),
+                      ("conv4_1", "conv4_2")):
+            for name in names:
+                t = torch.relu(_torch_conv(params, name)(t))
+            t = pool(t)
+        t = t.permute(0, 2, 3, 1).flatten(1)  # NHWC flatten order
+        t = torch.relu(fc("fc1_1")(t))
+        t = torch.relu(fc("fc1_2")(t))
+        t = torch.relu(fc("fc2")(t))
+    return t.numpy()
+
+
+def torch_vggish_postprocess(pca_eigen_vectors, pca_means, embeddings,
+                             quantize_min=-2.0, quantize_max=2.0):
+    """Independent torch implementation of the VGGish postprocessor
+    (reference vggish_postprocess.py:53-94): PCA projection about the
+    means, clip to [-2, 2], uint8 quantize. Computed as
+    (x - means) @ eigvecs.T (row-vector form) rather than the
+    reference's eigvecs @ (x.T - means) column form, so a transposition
+    error in either implementation breaks the agreement."""
+    with torch.no_grad():
+        e = torch.from_numpy(np.asarray(embeddings, np.float64))
+        vec = torch.from_numpy(np.asarray(pca_eigen_vectors, np.float64))
+        means = torch.from_numpy(
+            np.asarray(pca_means, np.float64).reshape(1, -1)
+        )
+        pca = (e - means) @ vec.T
+        clipped = torch.clamp(pca, quantize_min, quantize_max)
+        q = (clipped - quantize_min) * (255.0 / (quantize_max - quantize_min))
+    return q.numpy().astype(np.uint8)
+
+
 def torch_audio_forward(variables, features_nhwc, input_bn=True,
                         orig_pool=(8, 8), final_pool=(32, 24)):
     """Independent NCHW implementation of the L3 audio conv stack, fed
