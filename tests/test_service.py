@@ -51,6 +51,39 @@ def test_concurrent_requests_batch_and_scatter(service):
         np.testing.assert_allclose(r, direct, rtol=1e-5, atol=1e-6)
 
 
+def test_loopback_bench_coalesces(service):
+    """tools/bench_serving.py --loopback (VERDICT r3 #4): drives
+    EmbeddingService.submit in-process and reports observed coalesced
+    device-batch sizes. With many concurrent single-window producers the
+    micro-batcher must actually coalesce (mean batch > 1) and every
+    request must round-trip."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from bench_serving import _BatchRecorder, run_load_loopback
+
+    recorder = _BatchRecorder(service.extractor)
+    orig, service.extractor = service.extractor, recorder
+    try:
+        res = run_load_loopback(
+            service, recorder, n_clients=8, n_requests=6,
+            windows_per_req=1, window_samples=48000,
+            rng=np.random.RandomState(2),
+        )
+    finally:
+        service.extractor = orig
+    assert res["clients"] == 8
+    assert res["aggregate_clips_per_sec"] > 0
+    assert res["p95_ms"] >= res["p50_ms"] > 0
+    # 8 closed-loop producers against a 20 ms coalescing window on a
+    # slow CPU tower: batching must occur.
+    assert res["device_batches"] < 48
+    assert res["mean_coalesced_batch"] > 1
+    assert res["max_coalesced_batch"] <= 32
+
+
 def test_export_embedding_model_roundtrip(tmp_path, monkeypatch):
     """tools/export_embedding_model.py slices the audio tower out of an
     AVC checkpoint; load_exported_embedding must reproduce the original
@@ -91,7 +124,8 @@ def test_export_embedding_model_roundtrip(tmp_path, monkeypatch):
          ckpt, "--model-type", "tiny_L3", "--embedding", "audio",
          "--pooling", "short", "--output", prefix],
         capture_output=True, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "L3_FORCE_PLATFORM": "cpu"},
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert os.path.exists(prefix + ".ckpt")
@@ -112,7 +146,8 @@ def test_export_embedding_model_roundtrip(tmp_path, monkeypatch):
          ckpt, "--model-type", "tiny_L3", "--embedding", "frontend",
          "--output", fe_prefix],
         capture_output=True, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "L3_FORCE_PLATFORM": "cpu"},
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert os.path.exists(fe_prefix + ".json")

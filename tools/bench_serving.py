@@ -16,6 +16,16 @@ Numbers land in docs/DESIGN.md. On this dev image, request payloads ride
 the ~30 MB/s tunnel relay (192 KB/clip ≈ 6 ms), so absolute latencies
 carry a transfer floor a production host does not have; the saturation
 shape and aggregate-throughput numbers are the meaningful part.
+
+--loopback (VERDICT r3 #4) bypasses HTTP entirely: N in-process producer
+threads drive `EmbeddingService.submit` directly with pre-staged
+windows, so the sweep measures the service stack's true ceiling (queue +
+micro-batching + resident extractor) with ingress excluded, and reports
+the observed coalesced device-batch sizes. --int8 runs the sweep on the
+quantized tower (synthetic amax calibration — throughput shape only).
+
+    python tools/bench_serving.py --loopback --clients 1,8,64,128
+    python tools/bench_serving.py --loopback --int8 --clients 64,128
 """
 
 import argparse
@@ -29,6 +39,88 @@ import urllib.request
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class _BatchRecorder:
+    """Extractor proxy that records every device-batch size the service
+    worker coalesces (before the extractor's own bucket padding), so the
+    loopback sweep can report how close micro-batching gets to
+    max_batch under load."""
+
+    def __init__(self, extractor):
+        self._extractor = extractor
+        self.sizes = []
+
+    def __getattr__(self, name):
+        return getattr(self._extractor, name)
+
+    def embed_windows(self, windows):
+        self.sizes.append(int(windows.shape[0]))
+        return self._extractor.embed_windows(windows)
+
+    def snapshot(self):
+        sizes, self.sizes = self.sizes, []
+        return sizes
+
+
+def run_load_loopback(service, recorder, n_clients, n_requests,
+                      windows_per_req, window_samples, rng):
+    """Closed-loop producers against EmbeddingService.submit — no HTTP,
+    no sockets, no tunnel ingress. Latency is submit→result per request;
+    aggregate clips/s is total clips over the wall time of the whole
+    sweep."""
+    payloads = [
+        np.ascontiguousarray(
+            rng.randn(windows_per_req, window_samples).astype(np.float32)
+            * 0.1
+        )
+        for _ in range(4)
+    ]
+    latencies = [[] for _ in range(n_clients)]
+    errors = []
+    start = threading.Barrier(n_clients + 1)
+
+    def client(idx):
+        start.wait()
+        for i in range(n_requests):
+            t0 = time.perf_counter()
+            try:
+                service.submit(payloads[(idx + i) % len(payloads)]).result()
+            except Exception as e:  # pragma: no cover
+                errors.append(repr(e))
+                return
+            latencies[idx].append(time.perf_counter() - t0)
+
+    threads = [
+        threading.Thread(target=client, args=(i,)) for i in range(n_clients)
+    ]
+    for t in threads:
+        t.start()
+    recorder.snapshot()  # drop warmup-era batch sizes
+    start.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    if errors:
+        raise RuntimeError(f"{len(errors)} client errors: {errors[:3]}")
+    lat = np.concatenate([np.asarray(l) for l in latencies])
+    total_clips = n_clients * n_requests * windows_per_req
+    batches = recorder.snapshot()
+    return {
+        "clients": n_clients,
+        "requests_per_client": n_requests,
+        "windows_per_request": windows_per_req,
+        "p50_ms": round(float(np.percentile(lat, 50)) * 1e3, 2),
+        "p95_ms": round(float(np.percentile(lat, 95)) * 1e3, 2),
+        "p99_ms": round(float(np.percentile(lat, 99)) * 1e3, 2),
+        "aggregate_clips_per_sec": round(total_clips / wall, 2),
+        "device_batches": len(batches),
+        "mean_coalesced_batch": round(float(np.mean(batches)), 1)
+        if batches else 0,
+        "max_coalesced_batch": max(batches) if batches else 0,
+    }
 
 
 def run_load(port, n_clients, n_requests, windows_per_req, window_samples,
@@ -96,6 +188,15 @@ def main():
     p.add_argument("--model-type", default="cnn_L3_melspec2")
     p.add_argument("--pooling", default="short")
     p.add_argument("--fast", action="store_true", help="bf16 tower")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 quantized tower, synthetic amax calibration "
+                        "(throughput shape only — real deployments "
+                        "calibrate on representative audio and gate on "
+                        "the measured cosine)")
+    p.add_argument("--loopback", action="store_true",
+                   help="drive EmbeddingService.submit in-process "
+                        "(no HTTP/ingress): the service stack's true "
+                        "ceiling (VERDICT r3 #4)")
     p.add_argument("--clients", default="1,2,4,8,16,32,64")
     p.add_argument("--requests", type=int, default=30)
     p.add_argument("--windows-per-request", type=int, default=1)
@@ -107,27 +208,60 @@ def main():
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/jax_comp"))
 
-    from l3embedding_tpu.embed.extract import EmbeddingExtractor
     from l3embedding_tpu.embed.http_serve import make_server
+    from l3embedding_tpu.embed.service import EmbeddingService
 
-    extractor = EmbeddingExtractor(
-        None, args.model_type, args.pooling, fast=args.fast
-    )
-    server = make_server(
-        extractor, "127.0.0.1", args.port,
-        max_batch_size=args.max_batch_size,
-        max_latency_ms=args.max_latency_ms,
-    )
-    port = server.server_address[1]
-    srv_thread = threading.Thread(target=server.serve_forever, daemon=True)
-    srv_thread.start()
+    if args.int8:
+        from l3embedding_tpu.embed.quantized import (
+            QuantizedEmbeddingExtractor,
+        )
+
+        extractor = QuantizedEmbeddingExtractor(
+            None, args.model_type, args.pooling
+        )
+        calib_rng = np.random.RandomState(7)
+        extractor.q.calibrate(
+            (calib_rng.randn(48, extractor.sr) * 0.1).astype(np.float32)
+        )
+    else:
+        from l3embedding_tpu.embed.extract import EmbeddingExtractor
+
+        extractor = EmbeddingExtractor(
+            None, args.model_type, args.pooling, fast=args.fast
+        )
+
+    recorder = _BatchRecorder(extractor)
+    server = None
+    if args.loopback:
+        service = EmbeddingService(
+            recorder,
+            max_batch_size=args.max_batch_size,
+            max_latency_ms=args.max_latency_ms,
+        )
+    else:
+        server = make_server(
+            recorder, "127.0.0.1", args.port,
+            max_batch_size=args.max_batch_size,
+            max_latency_ms=args.max_latency_ms,
+        )
+        service = server.l3_service
+        port = server.server_address[1]
+        srv_thread = threading.Thread(target=server.serve_forever,
+                                      daemon=True)
+        srv_thread.start()
 
     rng = np.random.RandomState(0)
+    mode = dict(
+        model_type=args.model_type, pooling=args.pooling,
+        dtype="int8" if args.int8 else ("bf16" if args.fast else "f32"),
+        loopback=bool(args.loopback),
+    )
     try:
         # Warm every shape bucket the sweep can coalesce into (powers of
-        # two up to max clients × windows) by driving the extractor
-        # directly — cold remote compiles take minutes and would
-        # otherwise land inside a client's timed request.
+        # two up to max clients × windows, capped by max batch) by
+        # driving the extractor directly — cold remote compiles take
+        # minutes and would otherwise land inside a client's timed
+        # request.
         max_batch = min(
             args.max_batch_size,
             max(int(x) for x in args.clients.split(","))
@@ -142,18 +276,26 @@ def main():
             if b >= max_batch:
                 break
             b *= 2
+
+        def measure(n, n_requests):
+            if args.loopback:
+                return run_load_loopback(
+                    service, recorder, n, n_requests,
+                    args.windows_per_request, extractor.sr, rng,
+                )
+            return run_load(port, n, n_requests,
+                            args.windows_per_request, extractor.sr, rng)
+
         for n in sorted({int(x) for x in args.clients.split(",")}):
-            run_load(port, n, 3, args.windows_per_request,
-                     extractor.sr, rng)
+            measure(n, 3)
         for n in (int(x) for x in args.clients.split(",")):
-            res = run_load(port, n, args.requests,
-                           args.windows_per_request, extractor.sr, rng)
-            res.update(model_type=args.model_type, pooling=args.pooling,
-                       fast=bool(args.fast))
+            res = measure(n, args.requests)
+            res.update(mode)
             print(json.dumps(res), flush=True)
     finally:
-        server.shutdown()
-        server.l3_service.close()
+        if server is not None:
+            server.shutdown()
+        service.close()
 
 
 if __name__ == "__main__":

@@ -48,6 +48,19 @@ def main():
                    help="Output prefix (writes <output>.ckpt + .json)")
     args = p.parse_args()
 
+    import jax
+
+    # Same test/CI hook as bench.py: this image's sitecustomize re-pins
+    # JAX_PLATFORMS=axon at interpreter start, so the env var alone
+    # cannot keep a subprocess off the TPU tunnel — the config update
+    # must run before backend init. tests/test_service.py sets
+    # L3_FORCE_PLATFORM=cpu so the export roundtrip never grabs (or is
+    # failed by an outage of) the tunnel.
+    forced = os.environ.get("L3_FORCE_PLATFORM")
+    if forced:
+        os.environ["JAX_PLATFORMS"] = forced
+        jax.config.update("jax_platforms", forced)
+
     from l3embedding_tpu.models import build_model
     from l3embedding_tpu.models.loading import load_model
     from l3embedding_tpu.training import checkpoints
