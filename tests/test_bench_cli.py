@@ -43,6 +43,11 @@ def test_bench_both_modes_json_contract():
     assert out["vs_baseline"] > 0
     extra = out["extra"]
     assert extra["extract_clips_per_sec"] > 0
+    # tiny_L3 has no full L3 audio tower, so the default int8 headline
+    # must fall back to bf16 AND say so in the artifact.
+    assert extra["extract_dtype"] == "bf16"
+    assert extra["int8_fallback"].startswith("unsupported")
+    assert extra["extract_clips_per_sec_f32"] > 0
     assert extra["v5e8_projected_pairs_per_sec"] > extra.get(
         "vs_ref_4gpu_aggregate", 0
     )
@@ -76,6 +81,23 @@ def test_bench_extract_mode():
     out = run_bench("--mode", "extract", "--dtype", "f32")
     assert out["metric"] == "embedding_clips_per_sec_melspec2_short"
     assert out["value"] > 0
+
+
+def test_bench_extract_int8_headline():
+    """--mode extract on the full melspec2 tower defaults to the int8
+    headline (VERDICT r4 #1/#8): metric carries the _int8 suffix and the
+    artifact records the measured in-path cosine gate."""
+    out = run_bench(
+        "--mode", "extract", "--model-type", "cnn_L3_melspec2",
+        "--extract-batch-size", "2", "--int8-calib-windows", "6",
+        "--steps", "1",
+    )
+    assert out["metric"] == "embedding_clips_per_sec_melspec2_short_int8"
+    assert out["value"] > 0
+    extra = out["extra"]
+    assert 0.9 < extra["int8_min_cosine_vs_folded_f32"] <= 1.0
+    assert isinstance(extra["int8_gate_pass"], bool)
+    assert "int8_fallback" not in extra or not extra["int8_gate_pass"]
 
 
 def test_bench_warmup_zero_does_not_crash():
