@@ -21,3 +21,21 @@ TPU hardware:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+_forced = _os.environ.get("L3_FORCE_PLATFORM")
+if _forced:
+    # Test/CI hook honored by every CLI and tool that imports this
+    # package: pin the JAX backend before anything initializes it. On
+    # the dev image the JAX_PLATFORMS env var alone is NOT enough — a
+    # sitecustomize registers the axon TPU tunnel plugin at interpreter
+    # start and the first backend lookup still initializes (and, during
+    # a tunnel outage, hangs on) it unless the config is pinned first.
+    # Tests that spawn CLI subprocesses set L3_FORCE_PLATFORM=cpu so a
+    # suite run can never ride — or be wedged by — the TPU tunnel.
+    _os.environ["JAX_PLATFORMS"] = _forced
+
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _forced)

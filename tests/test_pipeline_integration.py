@@ -20,6 +20,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ENV = dict(
     os.environ,
     JAX_PLATFORMS="cpu",
+    # The env var alone cannot keep a subprocess off the axon TPU
+    # tunnel (sitecustomize registers the plugin at interpreter start;
+    # during an outage the first backend lookup hangs on it);
+    # L3_FORCE_PLATFORM makes l3embedding_tpu pin the config at import.
+    L3_FORCE_PLATFORM="cpu",
     XLA_FLAGS="--xla_force_host_platform_device_count=8",
 )
 
