@@ -99,8 +99,11 @@ EXTRACT_OPTIMUM_BATCH = {"int8": 512, "bf16": 256, "f32": 128}
 
 
 def _extract_batch(args, dtype):
-    opt = EXTRACT_OPTIMUM_BATCH[dtype]
-    return min(opt, args.extract_batch_size) if args.extract_batch_size else opt
+    # An explicit --extract-batch-size is exact (it must reproduce the
+    # DESIGN.md sweeps, e.g. int8 at 768/1024), not a cap.
+    if args.extract_batch_size:
+        return args.extract_batch_size
+    return EXTRACT_OPTIMUM_BATCH[dtype]
 
 
 def _init_variables(args):
@@ -118,7 +121,7 @@ def _init_variables(args):
     )
 
 
-def bench_extract(args, rng, dtype="f32", batch_size=None):
+def bench_extract(args, rng, dtype="f32", batch_size=None, variables=None):
     """Both float dtypes pass the 0.999 BASELINE parity gate (measured
     on-chip vs the float64/torch reference: bf16 0.9999879, f32
     0.9999891 — bench_parity re-measures both every run)."""
@@ -127,7 +130,8 @@ def bench_extract(args, rng, dtype="f32", batch_size=None):
 
     from l3embedding_tpu.models import audio_embedding_fn
 
-    variables = _init_variables(args)
+    if variables is None:
+        variables = _init_variables(args)
     fn = jax.jit(
         audio_embedding_fn(
             args.model_type,
@@ -149,7 +153,7 @@ def bench_extract(args, rng, dtype="f32", batch_size=None):
     return args.steps * batch / dt
 
 
-def bench_extract_int8(args, rng, batch_size=None):
+def bench_extract_int8(args, rng, batch_size=None, variables=None):
     """The int8 post-training-quantized tower (embed/quantized.py) at
     the headline pooling ('short'): calibrates static activation scales
     on synthetic audio-scale windows, measures the min cosine vs the
@@ -163,7 +167,8 @@ def bench_extract_int8(args, rng, batch_size=None):
 
     from l3embedding_tpu.embed.quantized import QuantizedAudioEmbedder
 
-    variables = _init_variables(args)
+    if variables is None:
+        variables = _init_variables(args)
     q = QuantizedAudioEmbedder(
         None, args.model_type, "short", variables=variables
     )
@@ -187,6 +192,40 @@ def bench_extract_int8(args, rng, batch_size=None):
     float(np.asarray(emb[0, 0], np.float32))
     dt = time.perf_counter() - t0
     return args.steps * batch / dt, cmin
+
+
+# The implementation-parity legs of bench_parity (the headline gate);
+# the int8 leg is a quantization-accuracy gate reported alongside.
+IMPL_PARITY_LEGS = ("torch_f32", "torch_bf16", "keras_import_f32")
+
+
+def _run_int8_leg(args, rng, extra, variables, cos_key, gate_key):
+    """Benchmark the int8 tower; record its cosine + gate in `extra`.
+
+    Returns measured clips/s, or None when the leg can't run at all. On
+    a gate miss the throughput is still returned — the caller demotes
+    the headline (extra["int8_fallback"] is set) but keeps the measured
+    number in the artifact as a secondary leg. Never raises: an XLA
+    runtime failure (OOM at batch 512, a compiler regression, a tunnel
+    outage mid-leg) must not sink the already-measured training numbers
+    — the same contract as the optional parity leg.
+    """
+    try:
+        clips, cmin = bench_extract_int8(args, rng, variables=variables)
+    except ValueError as e:
+        extra["int8_fallback"] = f"unsupported: {e}"[:160]
+        return None
+    except Exception as e:  # pragma: no cover - device-dependent
+        extra["int8_fallback"] = f"failed: {e!r}"[:160]
+        return None
+    extra[cos_key] = round(cmin, 7)
+    extra[gate_key] = bool(cmin >= 0.999)
+    if cmin < 0.999:
+        extra["int8_fallback"] = (
+            "measured cosine below the 0.999 gate; "
+            "headline fell back to bf16"
+        )
+    return clips
 
 
 def bench_parity(rng):
@@ -294,10 +333,11 @@ def main():
     p.add_argument("--batch-size", type=int, default=128,
                    help="training batch (128 is the measured optimum)")
     p.add_argument("--extract-batch-size", type=int, default=None,
-                   help="cap on the extraction batch; by default each "
-                        "tower runs at its measured on-chip optimum "
-                        "(int8: 512, bf16: 256, f32: 128 — sweeps in "
-                        "docs/DESIGN.md)")
+                   help="exact extraction batch for every tower "
+                        "(reproduces the docs/DESIGN.md sweeps); by "
+                        "default each tower runs at its measured "
+                        "on-chip optimum (int8: 512, bf16: 256, "
+                        "f32: 128)")
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--warmup", type=int, default=5)
     p.add_argument(
@@ -367,8 +407,7 @@ def main():
         # keras-import legs). The int8 leg is a quantization-accuracy
         # gate vs the folded-f32 tower — reported alongside with its own
         # pass flag, enforced in-path by 05 --int8 / http_serve --int8.
-        impl_legs = ("torch_f32", "torch_bf16", "keras_import_f32")
-        val = min(cos[k] for k in impl_legs)
+        val = min(cos[k] for k in IMPL_PARITY_LEGS)
         print(json.dumps({
             "metric": "embedding_parity_cosine_melspec2",
             "value": round(val, 8),
@@ -399,32 +438,47 @@ def main():
         # 0.9999891).
         dtype = args.extract_dtype
         extra = {}
+        variables = _init_variables(args)
+        clips = None
         if dtype == "int8":
-            try:
-                clips, cmin = bench_extract_int8(args, rng)
-                extra["int8_min_cosine_vs_folded_f32"] = round(cmin, 7)
-                extra["int8_gate_pass"] = bool(cmin >= 0.999)
-                if cmin < 0.999:
-                    extra["int8_fallback"] = (
-                        "measured cosine below the 0.999 gate; "
-                        "headline fell back to bf16"
-                    )
-                    dtype = "bf16"
-            except ValueError as e:
-                extra["int8_fallback"] = f"unsupported: {e}"[:160]
+            clips = _run_int8_leg(
+                args, rng, extra, variables,
+                cos_key="int8_min_cosine_vs_folded_f32",
+                gate_key="int8_gate_pass",
+            )
+            if "int8_fallback" in extra:
+                if clips is not None:
+                    # Gate miss: keep the measured int8 throughput as a
+                    # secondary leg rather than discarding a full pass.
+                    extra["extract_clips_per_sec_int8"] = round(clips, 2)
                 dtype = "bf16"
-        if dtype != "int8":
-            clips = bench_extract(args, rng, dtype=dtype)
+                clips = None
+        if clips is None:
+            clips = bench_extract(args, rng, dtype=dtype,
+                                  variables=variables)
         suffix = {"int8": "_int8", "bf16": "_bf16", "f32": ""}[dtype]
+        extra["extract_batch"] = _extract_batch(args, dtype)
+        # The reference recorded no extraction rate (its recipe was CPU
+        # inference on a 7-day budget, reference
+        # jobs/generate_embedding_samples.sbatch:5-6); the only recorded
+        # reference throughput is the 4-GPU training aggregate, so
+        # vs_baseline here is a cross-metric convenience ratio, labeled
+        # as such below (VERDICT r3 weak #5). Absolute clips/sec is the
+        # honest headline.
+        extra["baseline_framing"] = (
+            "vs_baseline divides clips/sec by the reference's 4-GPU "
+            "TRAINING rate (130 pairs/sec), the only throughput the "
+            "reference recorded — a cross-metric convenience ratio; "
+            "read the absolute clips/sec as the headline"
+        )
         out = {
             "metric": "embedding_clips_per_sec_melspec2_short" + suffix,
             "value": round(clips, 2),
             "unit": "1s-clips/sec",
             "vs_baseline": round(clips / REFERENCE_PAIRS_PER_SEC_4GPU, 2),
             "platform": jax.default_backend(),
+            "extra": extra,
         }
-        if extra:
-            out["extra"] = extra
         print(json.dumps(out))
         return
 
@@ -462,32 +516,28 @@ def main():
         # explicit --dtype pins the headline to that float tower
         # instead, per ADVICE r3). The other towers ride as secondary
         # legs so every dtype appears in every artifact, each at its
-        # measured optimum batch (EXTRACT_OPTIMUM_BATCH), capped by
-        # --extract-batch-size for memory-constrained configs.
+        # measured optimum batch (EXTRACT_OPTIMUM_BATCH); an explicit
+        # --extract-batch-size pins every leg to that exact batch.
         extra = result["extra"]
         head_dtype = args.extract_dtype
+        variables = _init_variables(args)
         legs = {}
         if head_dtype == "int8" or args.model_type == "cnn_L3_melspec2":
-            try:
-                legs["int8"], cmin = bench_extract_int8(args, rng)
-                extra["extract_int8_min_cosine_vs_folded_f32"] = round(
-                    cmin, 7
-                )
-                extra["int8_headline_gate_pass"] = bool(cmin >= 0.999)
-                if head_dtype == "int8" and cmin < 0.999:
-                    extra["int8_fallback"] = (
-                        "measured cosine below the 0.999 gate; "
-                        "headline fell back to bf16"
-                    )
-                    head_dtype = "bf16"
-            except ValueError as e:
-                extra["int8_fallback"] = f"unsupported: {e}"[:160]
-                if head_dtype == "int8":
-                    head_dtype = "bf16"
+            c = _run_int8_leg(
+                args, rng, extra, variables,
+                cos_key="extract_int8_min_cosine_vs_folded_f32",
+                gate_key="int8_headline_gate_pass",
+            )
+            if c is not None:
+                legs["int8"] = c
+            if head_dtype == "int8" and "int8_fallback" in extra:
+                head_dtype = "bf16"
         for dt in ("bf16", "f32"):
-            legs[dt] = bench_extract(args, rng, dtype=dt)
+            legs[dt] = bench_extract(args, rng, dtype=dt,
+                                     variables=variables)
         extra["extract_clips_per_sec"] = round(legs[head_dtype], 2)
         extra["extract_dtype"] = head_dtype
+        extra["extract_batch"] = _extract_batch(args, head_dtype)
         for dt, clips in legs.items():
             if dt != head_dtype:
                 extra[f"extract_clips_per_sec_{dt}"] = round(clips, 2)
@@ -501,8 +551,7 @@ def main():
         # numbers if an optional dep (torch) is missing.
         try:
             cos = bench_parity(np.random.RandomState(3))
-            impl_legs = ("torch_f32", "torch_bf16", "keras_import_f32")
-            impl_min = min(cos[k] for k in impl_legs)
+            impl_min = min(cos[k] for k in IMPL_PARITY_LEGS)
             result["extra"]["parity_cosine"] = round(impl_min, 8)
             result["extra"]["parity_cosine_torch"] = round(
                 cos["torch_f32"], 8

@@ -48,6 +48,8 @@ def test_bench_both_modes_json_contract():
     assert extra["extract_dtype"] == "bf16"
     assert extra["int8_fallback"].startswith("unsupported")
     assert extra["extract_clips_per_sec_f32"] > 0
+    # --extract-batch-size is exact (it must reproduce DESIGN.md sweeps).
+    assert extra["extract_batch"] == 8
     assert extra["v5e8_projected_pairs_per_sec"] > extra.get(
         "vs_ref_4gpu_aggregate", 0
     )
@@ -98,6 +100,10 @@ def test_bench_extract_int8_headline():
     assert 0.9 < extra["int8_min_cosine_vs_folded_f32"] <= 1.0
     assert isinstance(extra["int8_gate_pass"], bool)
     assert "int8_fallback" not in extra or not extra["int8_gate_pass"]
+    assert extra["extract_batch"] == 2
+    # The extract-mode vs_baseline is a cross-metric ratio (the
+    # reference recorded no extraction rate) and must say so in-artifact.
+    assert "TRAINING rate" in extra["baseline_framing"]
 
 
 def test_bench_warmup_zero_does_not_crash():
