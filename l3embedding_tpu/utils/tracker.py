@@ -68,6 +68,12 @@ def _sanitize(obj):
         return f if math.isfinite(f) else None
     if isinstance(obj, np.integer):
         return int(obj)
+    if isinstance(obj, np.bool_):
+        return bool(obj)
+    if isinstance(obj, np.ndarray) and obj.ndim == 0:
+        # 0-d arrays (e.g. an un-itemized device_get result) would fall
+        # through to default=str just like the scalar cases above.
+        return _sanitize(obj.item())
     if isinstance(obj, dict):
         return {k: _sanitize(v) for k, v in obj.items()}
     if isinstance(obj, (list, tuple)):

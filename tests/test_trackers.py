@@ -217,6 +217,37 @@ def test_jsonl_tracker_sanitizes_numpy_scalars(tmp_path):
     assert state["/runs/np"]["i64"] == 7
 
 
+def test_jsonl_tracker_sanitizes_numpy_bool_and_0d_arrays(tmp_path):
+    """np.bool_ and 0-d ndarrays (e.g. an un-itemized device_get result)
+    are not caught by the float/int branches and used to serialize via
+    default=str as the STRINGS "True" / "nan" — the same
+    type-inconsistency class as the np.float32 case above."""
+    import numpy as np
+
+    path = str(tmp_path / "exp.jsonl")
+    t = JSONLTracker(path)
+    t.upsert({"model_dir": "/runs/np0d"})
+    t.update(
+        "/runs/np0d",
+        {
+            "gate_pass": np.bool_(True),
+            "gate_fail": np.bool_(False),
+            "arr_nan": np.asarray(float("nan")),
+            "arr_ok": np.asarray(np.float32(1.5)),
+            "arr_int": np.asarray(np.int32(3)),
+        },
+    )
+    with open(path) as f:
+        lines = f.read().splitlines()
+    vals = json.loads(lines[-1], parse_constant=_reject)["values"]
+    assert vals["gate_pass"] is True
+    assert vals["gate_fail"] is False
+    assert vals["arr_nan"] is None
+    assert vals["arr_ok"] == 1.5
+    assert vals["arr_int"] == 3
+    assert not any(isinstance(v, str) for v in vals.values())
+
+
 def test_google_credentials_service_account_and_user_token(tmp_path,
                                                            monkeypatch):
     """Credential resolution covers BOTH key kinds (closing the last
