@@ -5,3 +5,4 @@ from .quantized import (  # noqa: F401
     QuantizedAudioEmbedder,
     QuantizedEmbeddingExtractor,
 )
+from .stream import StreamingEmbedder  # noqa: F401

@@ -84,6 +84,88 @@ def test_loopback_bench_coalesces(service):
     assert res["max_coalesced_batch"] <= 32
 
 
+def test_streaming_matches_file_path(service):
+    """StreamingEmbedder fed arbitrary-size chunks must reproduce the
+    file extraction path row-for-row (embed/stream.py; the reference
+    can only embed complete files, reference features.py:256-306)."""
+    from l3embedding_tpu.embed import StreamingEmbedder, frame_uniform
+
+    ex = service.extractor
+    rng = np.random.RandomState(7)
+    audio = (rng.randn(int(3.7 * ex.sr)) * 0.1).astype(np.float32)
+
+    stream = StreamingEmbedder(ex)
+    rows = []
+    i = 0
+    while i < len(audio):
+        n = int(rng.randint(1000, 60000))
+        out = stream.feed(audio[i:i + n])
+        assert out.ndim == 2
+        rows.append(out)
+        i += n
+    rows.append(stream.flush())
+    got = np.concatenate([r for r in rows if r.size], axis=0)
+
+    want = ex.embed_audio(audio)
+    assert got.shape == want.shape == (len(frame_uniform(audio, ex.sr)),
+                                       350)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # Memory stays bounded at ~1 window regardless of stream length.
+    assert len(stream._buf) <= stream.frame_length
+    assert stream.windows_emitted == len(want)
+
+
+def test_streaming_short_and_empty_streams(service):
+    """Streams shorter than one window emit their single centered
+    zero-padded window at flush() — including the empty stream, which
+    the reference framing maps to one all-zeros window."""
+    from l3embedding_tpu.embed import StreamingEmbedder
+
+    ex = service.extractor
+    rng = np.random.RandomState(8)
+    short = (rng.randn(ex.sr // 2) * 0.1).astype(np.float32)
+
+    stream = StreamingEmbedder(ex)
+    assert stream.feed(short).shape == (0, 0)  # dim unknown pre-emit
+    got = stream.flush()
+    np.testing.assert_allclose(
+        got, ex.embed_audio(short), rtol=1e-5, atol=1e-6
+    )
+    assert stream.flush().shape == (0, 350)  # idempotent once sealed
+
+    empty = StreamingEmbedder(ex)
+    np.testing.assert_allclose(
+        empty.flush(), ex.embed_audio(np.zeros(0, np.float32)),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_streaming_int_pcm_and_errors(service):
+    """Integer PCM converts like the training pipeline (pcm2float);
+    sealed or malformed streams fail loudly."""
+    from l3embedding_tpu.embed import StreamingEmbedder
+
+    ex = service.extractor
+    rng = np.random.RandomState(9)
+    pcm = (rng.randn(ex.sr + 100) * 8000).astype(np.int16)
+
+    s_int = StreamingEmbedder(ex)
+    got = s_int.feed(pcm)
+    from l3embedding_tpu.data.audio_io import pcm2float
+
+    s_f = StreamingEmbedder(ex)
+    want = s_f.feed(pcm2float(pcm))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+    s_int.flush()
+    with pytest.raises(RuntimeError):
+        s_int.feed(pcm)
+    with pytest.raises(ValueError):
+        StreamingEmbedder(ex).feed(np.zeros((2, 100), np.float32))
+    with pytest.raises(ValueError):
+        StreamingEmbedder(ex, hop_size=0.0)
+
+
 def test_export_embedding_model_roundtrip(tmp_path, monkeypatch):
     """tools/export_embedding_model.py slices the audio tower out of an
     AVC checkpoint; load_exported_embedding must reproduce the original
