@@ -24,6 +24,19 @@ POST /v1/embed_windows    (application/octet-stream)
     X-Num-Windows header carries N.
     → raw little-endian float32 (N, D); X-Embedding-Dim carries D.
 
+Streaming sessions (real-time PCM; embed/stream.py semantics — the
+rows are identical to /v1/embed on the concatenated stream):
+
+POST /v1/stream/open      (optional JSON {"hop": 0.1})
+    → {"stream_id": ...}
+POST /v1/stream/<id>/feed (application/octet-stream, raw <f4 mono PCM,
+    any length) → raw float32 (K, D) for the K windows this chunk
+    completed (possibly 0); X-Num-Windows carries K.
+POST /v1/stream/<id>/flush
+    → final rows in the same raw format; the session is closed.
+    Windows from concurrent streams coalesce into shared device batches
+    through the same micro-batching service as one-shot requests.
+
 Run: python -m l3embedding_tpu.embed.http_serve MODEL.ckpt \
          --model-type cnn_L3_melspec2 --pooling short --port 8471
 """
@@ -33,18 +46,46 @@ from __future__ import annotations
 import json
 import logging
 import threading
+import time
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
 
 from .extract import EmbeddingExtractor, frame_uniform
 from .service import EmbeddingService
+from .stream import StreamingEmbedder
 
 LOGGER = logging.getLogger("l3embedding_tpu.embed.http")
 
 
+class _ServiceWindows:
+    """StreamingEmbedder-compatible view of the micro-batching service:
+    windows from concurrent streams coalesce into shared device batches
+    instead of each stream dispatching its own."""
+
+    def __init__(self, service: EmbeddingService, sr: int):
+        self.sr = sr
+        self._service = service
+
+    def embed_windows(self, windows: np.ndarray) -> np.ndarray:
+        return self._service.submit(
+            np.ascontiguousarray(windows, np.float32)
+        ).result()
+
+
+class _StreamSession:
+    def __init__(self, embedder: StreamingEmbedder):
+        self.embedder = embedder
+        self.lock = threading.Lock()  # serialize feeds to one stream
+        self.last_used = time.monotonic()
+
+
 class _State:
     """Shared handler state (BaseHTTPRequestHandler is per-request)."""
+
+    MAX_STREAMS = 256
+    STREAM_IDLE_S = 600.0
 
     def __init__(self, extractor: EmbeddingExtractor,
                  service: EmbeddingService):
@@ -58,6 +99,41 @@ class _State:
             np.zeros((1, self.window_samples), np.float32)
         )
         self.dim = int(dim_probe.shape[1])
+        self.streams: dict[str, _StreamSession] = {}
+        self.streams_lock = threading.Lock()
+
+    def open_stream(self, hop: float) -> str:
+        with self.streams_lock:
+            # Opportunistic GC: sessions idle past the TTL (a client
+            # that died without flushing) are dropped when new ones
+            # open — no background reaper thread needed.
+            now = time.monotonic()
+            for sid in [s for s, ses in self.streams.items()
+                        if now - ses.last_used > self.STREAM_IDLE_S]:
+                del self.streams[sid]
+            if len(self.streams) >= self.MAX_STREAMS:
+                raise OverflowError(
+                    f"too many open streams ({self.MAX_STREAMS}); flush "
+                    "stale sessions or raise _State.MAX_STREAMS"
+                )
+            sid = uuid.uuid4().hex
+            self.streams[sid] = _StreamSession(StreamingEmbedder(
+                _ServiceWindows(self.service, self.window_samples),
+                hop_size=hop,
+            ))
+            return sid
+
+    def get_stream(self, sid: str) -> _StreamSession:
+        with self.streams_lock:
+            session = self.streams.get(sid)
+        if session is None:
+            raise KeyError(f"unknown or closed stream {sid!r}")
+        session.last_used = time.monotonic()
+        return session
+
+    def close_stream(self, sid: str) -> None:
+        with self.streams_lock:
+            self.streams.pop(sid, None)
 
 
 
@@ -124,8 +200,21 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._embed_json()
             if self.path == "/v1/embed_windows":
                 return self._embed_windows_raw()
+            if self.path == "/v1/stream/open":
+                return self._stream_open()
+            parts = self.path.strip("/").split("/")
+            if len(parts) == 4 and parts[:2] == ["v1", "stream"]:
+                if parts[3] == "feed":
+                    return self._stream_feed(parts[2])
+                if parts[3] == "flush":
+                    return self._stream_flush(parts[2])
             return self._reply_error(404, f"unknown path {self.path!r}")
-        except (ValueError, KeyError, json.JSONDecodeError) as e:
+        except KeyError as e:
+            # Unknown/closed stream ids are 404 (the resource), not 400.
+            return self._reply_error(404, str(e))
+        except OverflowError as e:
+            return self._reply_error(503, str(e))
+        except (ValueError, json.JSONDecodeError) as e:
             return self._reply_error(400, str(e))
         except Exception as e:  # noqa: BLE001 — surface, don't kill thread
             LOGGER.exception("request failed")
@@ -134,6 +223,8 @@ class _Handler(BaseHTTPRequestHandler):
     def _embed_json(self):
         st = self.state
         payload = json.loads(self._read_body())
+        if "audio" not in payload:
+            raise ValueError("missing 'audio' field")
         audio = np.asarray(payload["audio"], np.float32)
         if audio.ndim != 1:
             raise ValueError(f"audio must be 1-D, got shape {audio.shape}")
@@ -158,6 +249,49 @@ class _Handler(BaseHTTPRequestHandler):
             "num_windows": int(emb.shape[0]),
             "dim": int(emb.shape[1]),
         })
+
+    def _reply_rows(self, emb: np.ndarray) -> None:
+        blob = np.asarray(emb, np.float32).astype("<f4").tobytes()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/octet-stream")
+        self.send_header("Content-Length", str(len(blob)))
+        self.send_header("X-Num-Windows", str(emb.shape[0]))
+        self.send_header("X-Embedding-Dim", str(self.state.dim))
+        self.end_headers()
+        self.wfile.write(blob)
+
+    def _stream_open(self):
+        hop = 0.1
+        length = int(self.headers.get("Content-Length", 0))
+        if length > 0:
+            payload = json.loads(self.rfile.read(length))
+            hop = float(payload.get("hop", 0.1))
+        sid = self.state.open_stream(hop)
+        self._reply_json(200, {
+            "stream_id": sid,
+            "sr": self.state.extractor.sr,
+            "dim": self.state.dim,
+        })
+
+    def _stream_feed(self, sid: str):
+        session = self.state.get_stream(sid)
+        body = self._read_body()
+        if len(body) % 4:
+            raise ValueError(
+                f"body is {len(body)} bytes; expected raw <f4 PCM "
+                "(a multiple of 4)"
+            )
+        pcm = np.frombuffer(body, "<f4")
+        with session.lock:
+            emb = session.embedder.feed(pcm)
+        self._reply_rows(emb)
+
+    def _stream_flush(self, sid: str):
+        session = self.state.get_stream(sid)
+        with session.lock:
+            emb = session.embedder.flush()
+        self.state.close_stream(sid)
+        self._reply_rows(emb)
 
     def _embed_windows_raw(self):
         st = self.state

@@ -361,6 +361,111 @@ class TestHTTPServing:
         direct = ex.embed_windows(w)
         np.testing.assert_allclose(got, direct, rtol=1e-5, atol=1e-6)
 
+    def _post(self, srv, path, data=b"", headers=None):
+        import urllib.request
+
+        req = urllib.request.Request(
+            self._url(srv, path), data=data, headers=headers or {}
+        )
+        return urllib.request.urlopen(req)
+
+    def test_stream_session_matches_file_path(self, server):
+        """/v1/stream/{open,feed,flush}: feeding a finite stream chunk
+        by chunk over HTTP yields the same rows as /v1/embed on the
+        whole clip (embed/stream.py semantics)."""
+        import json
+
+        srv, ex = server
+        rng = np.random.RandomState(11)
+        audio = (rng.randn(int(2.3 * 48000)) * 0.1).astype(np.float32)
+
+        with self._post(srv, "/v1/stream/open",
+                        json.dumps({"hop": 0.5}).encode()) as r:
+            opened = json.load(r)
+        sid = opened["stream_id"]
+        assert opened["dim"] == 350 and opened["sr"] == 48000
+
+        rows, i = [], 0
+        while i < len(audio):
+            n = int(rng.randint(5000, 50000))
+            with self._post(srv, f"/v1/stream/{sid}/feed",
+                            audio[i:i + n].astype("<f4").tobytes()) as r:
+                k = int(r.headers["X-Num-Windows"])
+                blob = r.read()
+            rows.append(np.frombuffer(blob, "<f4").reshape(k, -1)
+                        if blob else np.zeros((0, 350), np.float32))
+            assert k == rows[-1].shape[0]
+            i += n
+        with self._post(srv, f"/v1/stream/{sid}/flush") as r:
+            blob = r.read()
+            if blob:
+                rows.append(np.frombuffer(blob, "<f4").reshape(
+                    int(r.headers["X-Num-Windows"]), -1))
+        got = np.concatenate([r for r in rows if r.size], axis=0)
+
+        from l3embedding_tpu.embed.extract import frame_uniform
+
+        want = ex.embed_windows(frame_uniform(audio, hop_size=0.5))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+        # The session is gone after flush: further feeds are 404.
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(srv, f"/v1/stream/{sid}/feed", b"\x00" * 8)
+        assert ei.value.code == 404
+
+    def test_stream_unknown_id_and_bad_body(self, server):
+        import urllib.error
+
+        srv, _ = server
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(srv, "/v1/stream/nope/feed", b"\x00" * 8)
+        assert ei.value.code == 404
+
+        with self._post(srv, "/v1/stream/open") as r:  # empty body: ok
+            import json
+
+            sid = json.load(r)["stream_id"]
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(srv, f"/v1/stream/{sid}/feed", b"\x00" * 7)
+        assert ei.value.code == 400  # not a multiple of 4
+        with self._post(srv, f"/v1/stream/{sid}/flush") as r:
+            assert int(r.headers["X-Num-Windows"]) == 1  # empty stream
+
+    def test_concurrent_streams_coalesce(self, server):
+        """Two interleaved sessions stay independent (and their windows
+        ride the same micro-batching service as one-shot requests)."""
+        import json
+
+        srv, ex = server
+        rng = np.random.RandomState(12)
+        clips = [(rng.randn(48000 + 4800 * 3) * 0.1).astype(np.float32)
+                 for _ in range(2)]
+        sids = []
+        for _ in clips:
+            with self._post(srv, "/v1/stream/open") as r:
+                sids.append(json.load(r)["stream_id"])
+        rows = [[], []]
+        for start in range(0, len(clips[0]), 9600):
+            for j, sid in enumerate(sids):
+                chunk = clips[j][start:start + 9600]
+                with self._post(srv, f"/v1/stream/{sid}/feed",
+                                chunk.astype("<f4").tobytes()) as r:
+                    k = int(r.headers["X-Num-Windows"])
+                    if k:
+                        rows[j].append(
+                            np.frombuffer(r.read(), "<f4").reshape(k, -1)
+                        )
+        for j, sid in enumerate(sids):
+            with self._post(srv, f"/v1/stream/{sid}/flush"):
+                pass
+            got = np.concatenate(rows[j], axis=0)
+            want = ex.embed_audio(clips[j])
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
     def test_concurrent_http_clients(self, server):
         import json
         import urllib.request
