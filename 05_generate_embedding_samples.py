@@ -56,6 +56,13 @@ def parse_arguments():
     parser.add_argument("--fast", dest="fast", action="store_true",
                         help="bf16 extraction tower (higher throughput; "
                         "feature cosine vs the fp32 parity path >= 0.9999)")
+    parser.add_argument("--device-framing", dest="device_framing",
+                        action="store_true",
+                        help="Upload each file's PCM once and slice the "
+                        "overlapping windows on device instead of "
+                        "host-framing a ~10x window blowup (identical "
+                        "rows; cuts host->device bytes per file ~10x at "
+                        "hop 0.1s)")
     parser.add_argument("--int8", dest="int8", action="store_true",
                         help="int8 post-training-quantized tower (BN "
                         "folding + per-channel weights + calibrated "
@@ -162,6 +169,7 @@ if __name__ == "__main__":
                 model_path, model_type, pooling_type,
                 fast=args["fast"],
                 db_batch_global=args["db_batch_global"],
+                device_framing=args["device_framing"],
             )
     else:
         dataset_output_dir = os.path.join(

@@ -88,6 +88,7 @@ class EmbeddingExtractor:
         fast: bool = False,
         db_batch_global: bool = False,
         mesh=None,
+        device_framing: bool = False,
     ):
         """fast=True switches the tower to bf16 compute with the bf16 MXU
         front-end — higher throughput, and it passes the 0.999 BASELINE
@@ -99,7 +100,13 @@ class EmbeddingExtractor:
         quirk for checkpoints trained under it (registry.ModelSpec).
         mesh: a jax.sharding.Mesh for multi-chip serving — window batches
         shard over its 'data' axis and parameters replicate, so one
-        extractor saturates a v5e-8 the same way the train step does."""
+        extractor saturates a v5e-8 the same way the train step does.
+        device_framing=True makes embed_audio upload a file's PCM ONCE
+        and slice the overlapping windows on device (SURVEY §5.7's
+        framing-as-gather design): at hop 0.1 s the host-framed windows
+        are a 10x data blowup, so this cuts host→device bytes and host
+        memcpy by ~10x per file. Single-chip only (mesh falls back to
+        host framing); rows are identical to the host path (tested)."""
         self.model_type = model_type
         self.pooling_type = pooling_type
         self.sr = sr
@@ -123,14 +130,15 @@ class EmbeddingExtractor:
             self.variables = replicate(variables, mesh)
         else:
             self.variables = jax.device_put(variables)
-        self._fn = jax.jit(
-            audio_embedding_fn(
-                model_type,
-                pooling_type,
-                compute_dtype=jnp.bfloat16 if fast else jnp.float32,
-                db_batch_global=db_batch_global,
-            )
+        self._raw_fn = audio_embedding_fn(
+            model_type,
+            pooling_type,
+            compute_dtype=jnp.bfloat16 if fast else jnp.float32,
+            db_batch_global=db_batch_global,
         )
+        self._fn = jax.jit(self._raw_fn)
+        self.device_framing = bool(device_framing)
+        self._framed_fns: dict = {}  # (bucket, hop_length) -> jitted fn
 
     def embed_windows(self, windows: np.ndarray) -> np.ndarray:
         """(N, frame_length) float32 → (N, dim) embeddings."""
@@ -153,8 +161,57 @@ class EmbeddingExtractor:
         emb = self._fn(self.variables, x)
         return np.asarray(emb)[:n]
 
-    def embed_audio(self, audio: np.ndarray, hop_size: float = 0.1) -> np.ndarray:
+    def embed_audio(self, audio: np.ndarray, hop_size: float = 0.1,
+                    device_framing: bool | None = None) -> np.ndarray:
+        use_device = (self.device_framing if device_framing is None
+                      else device_framing)
+        if use_device and self.mesh is None and len(audio) >= self.sr:
+            # Short clips (< one window) take the host path: they need
+            # the centered zero-padding and are one window anyway.
+            return self._embed_audio_device_framed(audio, hop_size)
         return self.embed_windows(frame_uniform(audio, self.sr, hop_size))
+
+    def _framed_fn(self, bucket: int, hop_length: int):
+        """Jitted framing-as-gather + embed: buf (1-D PCM) → (bucket, D).
+
+        The file's samples cross host→device ONCE; the `bucket`
+        overlapping windows are sliced on device (at hop 0.1 s the
+        host-framed batch is a ~10x blowup of the raw PCM — that factor
+        comes off the transfer and host memcpy). dynamic_slice keeps the
+        gather dense and static-shaped for XLA."""
+        key = (bucket, hop_length)
+        fn = self._framed_fns.get(key)
+        if fn is None:
+            frame_length = self.sr
+
+            def framed(variables, buf):
+                starts = jnp.arange(bucket) * hop_length
+
+                def one(i):
+                    return jax.lax.dynamic_slice(buf, (i,), (frame_length,))
+
+                windows = jax.vmap(one)(starts)
+                return self._raw_fn(variables, windows[:, None, :])
+
+            fn = self._framed_fns[key] = jax.jit(framed)
+        return fn
+
+    def _embed_audio_device_framed(self, audio: np.ndarray,
+                                   hop_size: float) -> np.ndarray:
+        hop_length = int(hop_size * self.sr)
+        frame_length = self.sr
+        n = (len(audio) - frame_length) // hop_length + 1
+        bucket = _bucket(n)
+        # Stage exactly the samples the bucket's windows cover: real
+        # PCM for the n true windows (any dropped non-hop-aligned tail
+        # matches frame_uniform's reference quirk), zeros for the
+        # bucket-padding windows (discarded below).
+        need = (bucket - 1) * hop_length + frame_length
+        buf = np.zeros(need, np.float32)
+        m = min(len(audio), need)
+        buf[:m] = audio[:m]
+        emb = self._framed_fn(bucket, hop_length)(self.variables, buf)
+        return np.asarray(emb)[:n]
 
     def embed_file(self, path: str, hop_size: float = 0.1) -> np.ndarray:
         from ..data.audio_io import load_audio

@@ -144,3 +144,26 @@ def test_embedding_extractor_tiny(tmp_path):
     assert np.all(np.isfinite(emb))
     # Determinism: same audio → same embeddings.
     np.testing.assert_array_equal(emb, ex.embed_audio(audio, hop_size=0.5))
+
+
+def test_device_framing_matches_host_framing():
+    """device_framing uploads the file's PCM once and slices windows on
+    device (extract.py _framed_fn; SURVEY §5.7 framing-as-gather). Rows
+    must match the host frame_uniform path to f32 tolerance at every
+    alignment case: hop-aligned, dropped non-aligned tail (the
+    reference's ceil-on-the-difference quirk), exactly one window, and
+    the short-audio fallback (which takes the host path for its
+    centered padding)."""
+    from l3embedding_tpu.embed.extract import EmbeddingExtractor
+
+    ex = EmbeddingExtractor(None, "tiny_L3", "original",
+                            device_framing=True)
+    rng = np.random.RandomState(3)
+    sr = ex.sr
+    for length, hop in ((int(2.5 * sr), 0.5), (int(2.5 * sr) + 777, 0.5),
+                        (sr, 0.1), (sr // 3, 0.1)):
+        audio = (rng.randn(length) * 0.1).astype(np.float32)
+        got = ex.embed_audio(audio, hop_size=hop)
+        want = ex.embed_audio(audio, hop_size=hop, device_framing=False)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
