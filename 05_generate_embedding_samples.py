@@ -63,6 +63,11 @@ def parse_arguments():
                         "host-framing a ~10x window blowup (identical "
                         "rows; cuts host->device bytes per file ~10x at "
                         "hop 0.1s)")
+    parser.add_argument("--mesh", dest="mesh", action="store_true",
+                        help="Shard window batches over all local "
+                        "devices (parameters replicate); works with the "
+                        "f32/bf16 towers and with --int8. Falls back to "
+                        "host framing if --device-framing is also set")
     parser.add_argument("--int8", dest="int8", action="store_true",
                         help="int8 post-training-quantized tower (BN "
                         "folding + per-channel weights + calibrated "
@@ -129,6 +134,13 @@ if __name__ == "__main__":
         )
         model_type = embedding_desc_str.split("/")[-1]
         LOGGER.info("Loading embedding model (%s)...", model_type)
+        mesh = None
+        if args["mesh"]:
+            from l3embedding_tpu.parallel import create_mesh
+
+            mesh = create_mesh()
+            LOGGER.info("Sharding window batches over %d devices",
+                        mesh.devices.size)
         if args["int8"]:
             import glob as _glob
 
@@ -137,6 +149,8 @@ if __name__ == "__main__":
             l3embedding_model = QuantizedEmbeddingExtractor(
                 model_path, model_type, pooling_type,
                 db_batch_global=args["db_batch_global"],
+                device_framing=args["device_framing"],
+                mesh=mesh,
             )
             wavs = sorted(
                 _glob.glob(
@@ -170,6 +184,7 @@ if __name__ == "__main__":
                 fast=args["fast"],
                 db_batch_global=args["db_batch_global"],
                 device_framing=args["device_framing"],
+                mesh=mesh,
             )
     else:
         dataset_output_dir = os.path.join(

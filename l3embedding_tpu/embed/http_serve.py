@@ -404,8 +404,6 @@ def main(argv=None):
 
         from .quantized import QuantizedEmbeddingExtractor
 
-        if args.mesh:
-            p.error("--int8 serves single-chip (no mesh sharding yet)")
         if not args.int8_calib:
             p.error("--int8 requires --int8-calib DIR (.wav files)")
         wavs = sorted(
@@ -415,7 +413,7 @@ def main(argv=None):
         if not wavs:
             p.error(f"no .wav files under --int8-calib {args.int8_calib}")
         extractor = QuantizedEmbeddingExtractor(
-            args.weights, args.model_type, args.pooling
+            args.weights, args.model_type, args.pooling, mesh=mesh
         )
         # Sample evenly across the sorted list (same recipe as the 05
         # CLI): a plain prefix of a class-per-directory tree would

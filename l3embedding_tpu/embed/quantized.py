@@ -214,7 +214,11 @@ class QuantizedAudioEmbedder:
         pooling_type: str = "short",
         db_batch_global: bool = False,
         variables=None,
+        mesh=None,
     ):
+        """mesh: a jax.sharding.Mesh for multi-chip int8 serving — window
+        batches shard over its 'data' axis with the quantized weights
+        replicated, same as EmbeddingExtractor's mesh path."""
         spec = build_model(model_type)
         self.pool = spec.audio_embedding_pooling[pooling_type]
         if variables is None:
@@ -242,6 +246,17 @@ class QuantizedAudioEmbedder:
             for _, b in self.fold.convs + [self.fold.emb_conv]
         ]
         self._act_scales = None  # set by calibrate()
+        self.mesh = mesh
+        if mesh is not None:
+            # Replicate the quantized weights over the mesh so they mix
+            # with 'data'-sharded window batches (a single-device
+            # constant next to a mesh-sharded input is a device
+            # mismatch).
+            from ..parallel import replicate
+
+            self._wq = replicate(self._wq, mesh)
+            self._wscale = replicate(self._wscale, mesh)
+            self._biases = replicate(self._biases, mesh)
 
         self._calib_fn = jax.jit(
             partial(folded_forward, self.fold, pool=self.pool,
@@ -283,9 +298,12 @@ class QuantizedAudioEmbedder:
             a = np.asarray(a)
             amax = a if amax is None else np.maximum(amax, a)
         clip = pct if method == "percentile" else amax
-        self._act_scales = jnp.asarray(
-            np.maximum(clip, 1e-12) / 127.0, jnp.float32
-        )
+        scales = jnp.asarray(np.maximum(clip, 1e-12) / 127.0, jnp.float32)
+        if self.mesh is not None:
+            from ..parallel import replicate
+
+            scales = replicate(scales, self.mesh)
+        self._act_scales = scales
         return np.asarray(amax)
 
     # -- inference -----------------------------------------------------
@@ -322,6 +340,18 @@ class QuantizedAudioEmbedder:
                 "embed_windows — static int8 scales come from calibration"
             )
         x = np.asarray(windows, np.float32)
+        if self.mesh is not None:
+            from ..parallel import batch_sharding
+
+            n = x.shape[0]
+            ndata = self.mesh.shape["data"]
+            m = -(-n // ndata) * ndata  # batch must split over 'data'
+            if m != n:
+                x = np.concatenate(
+                    [x, np.zeros((m - n, x.shape[1]), np.float32)]
+                )
+            x = jax.device_put(x, batch_sharding(self.mesh))
+            return np.asarray(self._embed_fn(self._act_scales, x))[:n]
         return np.asarray(self._embed_fn(self._act_scales, x))
 
     # -- gating --------------------------------------------------------
@@ -360,16 +390,27 @@ class QuantizedEmbeddingExtractor:
         sr: int = 48000,
         db_batch_global: bool = False,
         variables=None,
+        mesh=None,
+        device_framing: bool = False,
     ):
+        """device_framing=True uploads a file's PCM once and slices the
+        overlapping windows on device before the quantized forward —
+        the same ~10x host→device byte saving as
+        EmbeddingExtractor(device_framing=True), composed with the int8
+        tower (`05 --int8 --device-framing`). Single-chip only (mesh
+        falls back to host framing); rows match the host path."""
         self.q = QuantizedAudioEmbedder(
             weights_path, model_type, pooling_type,
             db_batch_global=db_batch_global, variables=variables,
+            mesh=mesh,
         )
         self.sr = sr
         # Interface parity with EmbeddingExtractor (http_serve /healthz).
         self.model_type = model_type
         self.pooling_type = pooling_type
         self.calib_cosine = None  # (min, mean) set by calibrate_files
+        self.device_framing = bool(device_framing)
+        self._framed_fns: dict = {}  # (bucket, hop_length) -> jitted fn
 
     def calibrate_files(self, paths, hop_size: float = 0.1,
                         method: str = "amax", percentile: float = 99.99,
@@ -434,10 +475,66 @@ class QuantizedEmbeddingExtractor:
             )
         return self.q.embed_windows(windows)[:n]
 
-    def embed_audio(self, audio: np.ndarray, hop_size: float = 0.1) -> np.ndarray:
+    def embed_audio(self, audio: np.ndarray, hop_size: float = 0.1,
+                    device_framing: bool | None = None) -> np.ndarray:
         from .extract import frame_uniform
 
+        use_device = (self.device_framing if device_framing is None
+                      else device_framing)
+        if use_device and self.q.mesh is None and len(audio) >= self.sr:
+            # Short clips (< one window) take the host path: they need
+            # the centered zero-padding and are one window anyway.
+            return self._embed_audio_device_framed(audio, hop_size)
         return self.embed_windows(frame_uniform(audio, self.sr, hop_size))
+
+    def _framed_fn(self, bucket: int, hop_length: int):
+        """Jitted framing-as-gather + quantized embed: PCM buf → rows.
+
+        Same design as EmbeddingExtractor._framed_fn (extract.py): the
+        file's samples cross host→device ONCE and the `bucket`
+        overlapping windows are vmapped dynamic_slices, so int8's
+        compute win composes with the ~10x transfer saving."""
+        key = (bucket, hop_length)
+        fn = self._framed_fns.get(key)
+        if fn is None:
+            frame_length = self.sr
+            quantized_forward = self.q._quantized_forward
+
+            def framed(act_scales, buf):
+                starts = jnp.arange(bucket) * hop_length
+
+                def one(i):
+                    return jax.lax.dynamic_slice(buf, (i,), (frame_length,))
+
+                windows = jax.vmap(one)(starts)
+                return quantized_forward(act_scales, windows)
+
+            fn = self._framed_fns[key] = jax.jit(framed)
+        return fn
+
+    def _embed_audio_device_framed(self, audio: np.ndarray,
+                                   hop_size: float) -> np.ndarray:
+        from .extract import _bucket
+
+        if self.q._act_scales is None:
+            raise RuntimeError(
+                "calibrate_files(paths) must run before embed_audio — "
+                "static int8 scales come from calibration"
+            )
+        hop_length = int(hop_size * self.sr)
+        frame_length = self.sr
+        n = (len(audio) - frame_length) // hop_length + 1
+        bucket = _bucket(n)
+        # Stage exactly the samples the bucket's windows cover: real PCM
+        # for the n true windows (a dropped non-hop-aligned tail matches
+        # frame_uniform's reference quirk), zeros for the bucket padding
+        # (discarded below; exact under symmetric quantization).
+        need = (bucket - 1) * hop_length + frame_length
+        buf = np.zeros(need, np.float32)
+        m = min(len(audio), need)
+        buf[:m] = audio[:m]
+        emb = self._framed_fn(bucket, hop_length)(self.q._act_scales, buf)
+        return np.asarray(emb)[:n]
 
     def embed_file(self, path: str, hop_size: float = 0.1) -> np.ndarray:
         from ..data.audio_io import load_audio

@@ -125,3 +125,44 @@ def test_05_then_06(setup):
     # Tone classes are trivially separable even through random conv
     # features — expect strong file-level accuracy.
     assert results["test"]["accuracy"] >= 0.4
+
+
+def test_05_mesh_matches_single_device(setup):
+    """`05 --mesh` shards window batches over the (virtual 8-CPU-device)
+    mesh from the CLI; rows must match single-device extraction. Runs
+    one fold at a coarse hop to bound cost."""
+    root, ckpt, audio_dir = setup
+    out_dir = str(root / "featout_mesh")
+
+    res = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "05_generate_embedding_samples.py"),
+            "-lmp", ckpt, "-lpt", "original", "-hs", "0.5",
+            "--mesh", "--fold", "1",
+            "dcase2013", audio_dir, out_dir,
+        ],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+
+    fold_dir = os.path.join(
+        out_dir, "features", "dcase2013", "l3", "original", "subset",
+        "tiny_L3", "fold1",
+    )
+    files = sorted(os.listdir(fold_dir))
+    assert len(files) == len(CLASSES) * 2
+
+    from l3embedding_tpu.data.audio_io import load_audio
+    from l3embedding_tpu.embed.extract import EmbeddingExtractor
+
+    ex = EmbeddingExtractor(ckpt, "tiny_L3", "original")
+    for name in files[::7]:  # spot-check a spread of files
+        got = np.load(os.path.join(fold_dir, name))["X"]
+        cls_file = os.path.splitext(name)[0] + ".wav"
+        audio = load_audio(
+            os.path.join(audio_dir, "fold1", cls_file), ex.sr
+        )
+        want = ex.embed_audio(audio, hop_size=0.5)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

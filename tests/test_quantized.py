@@ -214,3 +214,71 @@ def test_weight_quant_is_per_channel(variables):
         assert ws.shape == (w.shape[-1],)
         assert np.asarray(wq).dtype == np.int8
         assert np.abs(np.asarray(wq)).max() == 127
+
+
+def test_int8_device_framing_matches_host_framing(variables):
+    """05 --int8 --device-framing: the quantized extractor slices a
+    file's windows on device (QuantizedEmbeddingExtractor._framed_fn)
+    and must match the host frame_uniform path at every alignment case:
+    hop-aligned, dropped non-aligned tail (the reference's
+    ceil-on-the-difference quirk), and the short-audio fallback (which
+    takes the host path for its centered padding)."""
+    from l3embedding_tpu.embed.quantized import QuantizedEmbeddingExtractor
+
+    ex = QuantizedEmbeddingExtractor(None, MODEL, "short",
+                                     variables=variables,
+                                     device_framing=True)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="calibrate"):
+        ex.embed_audio(np.zeros(96000, np.float32))
+
+    ex.q.calibrate(_audio(4, seed=5))
+    rng = np.random.RandomState(6)
+    sr = ex.sr
+    for length, hop in ((int(2.5 * sr), 0.5), (int(2.5 * sr) + 777, 0.5),
+                        (sr // 3, 0.5)):
+        audio = (rng.randn(length) * 0.1).astype(np.float32)
+        got = ex.embed_audio(audio, hop_size=hop)
+        want = ex.embed_audio(audio, hop_size=hop, device_framing=False)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_mesh_sharded_int8_matches_single_device(variables):
+    """Int8 extraction over a data mesh (http_serve --int8 --mesh):
+    quantized weights replicate, window batches shard over 'data', and
+    the rows match the single-device quantized path — including a batch
+    that does not divide the mesh (padded, then truncated)."""
+    import jax
+
+    from l3embedding_tpu.parallel import create_mesh
+
+    windows = _audio(10, seed=3)
+    calib = _audio(6, seed=4)
+
+    single = QuantizedAudioEmbedder(None, MODEL, "short",
+                                    variables=variables)
+    single.calibrate(calib)
+
+    mesh = create_mesh(jax.devices()[:8])
+    sharded = QuantizedAudioEmbedder(None, MODEL, "short",
+                                     variables=variables, mesh=mesh)
+    sharded.calibrate(calib)
+    np.testing.assert_allclose(
+        np.asarray(sharded._act_scales), np.asarray(single._act_scales),
+        rtol=0, atol=0,
+    )
+
+    want = single.embed_windows(windows)
+    got = sharded.embed_windows(windows)  # 10 rows over 8 devices: pads
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    from l3embedding_tpu.embed.quantized import QuantizedEmbeddingExtractor
+
+    ex = QuantizedEmbeddingExtractor(None, MODEL, "short",
+                                     variables=variables, mesh=mesh)
+    ex.q._act_scales = sharded._act_scales
+    got_file = ex.embed_windows(windows[:5])
+    np.testing.assert_allclose(got_file, want[:5], rtol=1e-5, atol=1e-6)
