@@ -71,6 +71,67 @@ def _bucket(n: int) -> int:
     return int(np.ceil(n / BUCKETS[-1])) * BUCKETS[-1]
 
 
+class _DeviceFramer:
+    """Framing-as-gather device path shared by the f32/bf16 and int8
+    extractors (SURVEY §5.7's on-device windowing design).
+
+    A file's PCM crosses host→device ONCE; the bucket's overlapping
+    windows are vmapped dynamic_slices on device (at hop 0.1 s the
+    host-framed batch is a ~10x blowup of the raw PCM — that factor
+    comes off the transfer and the host memcpy). Rows are identical to
+    the host-framed path: bucket-padding rows are zero-masked ON DEVICE
+    (`n_real` rides as a traced scalar, so varying it never retraces),
+    because the staged buffer's padding windows overlap the clip's real
+    trailing PCM — and under kapre's batch-global dB quirk the dB
+    reference is a max over the WHOLE batch, so a loud non-hop-aligned
+    tail visible only to padding rows would silently shift every real
+    row. Zero rows match the host path's zero-pad windows exactly.
+    """
+
+    def __init__(self, sr: int, forward):
+        # forward(operand, windows) -> (B, dim); operand is whatever the
+        # caller's jitted forward closes over (variables / act scales).
+        self.sr = sr
+        self._forward = forward
+        self._fns: dict = {}  # (bucket, hop_length) -> jitted fn
+
+    def _fn(self, bucket: int, hop_length: int):
+        key = (bucket, hop_length)
+        fn = self._fns.get(key)
+        if fn is None:
+            frame_length = self.sr
+            forward = self._forward
+
+            def framed(operand, buf, n_real):
+                starts = jnp.arange(bucket) * hop_length
+
+                def one(i):
+                    return jax.lax.dynamic_slice(buf, (i,), (frame_length,))
+
+                windows = jax.vmap(one)(starts)
+                keep = (jnp.arange(bucket) < n_real)[:, None]
+                windows = jnp.where(keep, windows, 0.0)
+                return forward(operand, windows)
+
+            fn = self._fns[key] = jax.jit(framed)
+        return fn
+
+    def embed(self, operand, audio: np.ndarray, hop_size: float) -> np.ndarray:
+        hop_length = int(hop_size * self.sr)
+        frame_length = self.sr
+        n = (len(audio) - frame_length) // hop_length + 1
+        bucket = _bucket(n)
+        # Stage exactly the samples the bucket's windows cover: real PCM
+        # for the n true windows (a dropped non-hop-aligned tail matches
+        # frame_uniform's reference quirk), zeros beyond.
+        need = (bucket - 1) * hop_length + frame_length
+        buf = np.zeros(need, np.float32)
+        m = min(len(audio), need)
+        buf[:m] = audio[:m]
+        emb = self._fn(bucket, hop_length)(operand, buf, np.int32(n))
+        return np.asarray(emb)[:n]
+
+
 class EmbeddingExtractor:
     """Batched audio-embedding extractor for one (model_type, pooling).
 
@@ -138,7 +199,9 @@ class EmbeddingExtractor:
         )
         self._fn = jax.jit(self._raw_fn)
         self.device_framing = bool(device_framing)
-        self._framed_fns: dict = {}  # (bucket, hop_length) -> jitted fn
+        self._framer = _DeviceFramer(
+            self.sr, lambda variables, w: self._raw_fn(variables, w[:, None, :])
+        )
 
     def embed_windows(self, windows: np.ndarray) -> np.ndarray:
         """(N, frame_length) float32 → (N, dim) embeddings."""
@@ -171,47 +234,9 @@ class EmbeddingExtractor:
             return self._embed_audio_device_framed(audio, hop_size)
         return self.embed_windows(frame_uniform(audio, self.sr, hop_size))
 
-    def _framed_fn(self, bucket: int, hop_length: int):
-        """Jitted framing-as-gather + embed: buf (1-D PCM) → (bucket, D).
-
-        The file's samples cross host→device ONCE; the `bucket`
-        overlapping windows are sliced on device (at hop 0.1 s the
-        host-framed batch is a ~10x blowup of the raw PCM — that factor
-        comes off the transfer and host memcpy). dynamic_slice keeps the
-        gather dense and static-shaped for XLA."""
-        key = (bucket, hop_length)
-        fn = self._framed_fns.get(key)
-        if fn is None:
-            frame_length = self.sr
-
-            def framed(variables, buf):
-                starts = jnp.arange(bucket) * hop_length
-
-                def one(i):
-                    return jax.lax.dynamic_slice(buf, (i,), (frame_length,))
-
-                windows = jax.vmap(one)(starts)
-                return self._raw_fn(variables, windows[:, None, :])
-
-            fn = self._framed_fns[key] = jax.jit(framed)
-        return fn
-
     def _embed_audio_device_framed(self, audio: np.ndarray,
                                    hop_size: float) -> np.ndarray:
-        hop_length = int(hop_size * self.sr)
-        frame_length = self.sr
-        n = (len(audio) - frame_length) // hop_length + 1
-        bucket = _bucket(n)
-        # Stage exactly the samples the bucket's windows cover: real
-        # PCM for the n true windows (any dropped non-hop-aligned tail
-        # matches frame_uniform's reference quirk), zeros for the
-        # bucket-padding windows (discarded below).
-        need = (bucket - 1) * hop_length + frame_length
-        buf = np.zeros(need, np.float32)
-        m = min(len(audio), need)
-        buf[:m] = audio[:m]
-        emb = self._framed_fn(bucket, hop_length)(self.variables, buf)
-        return np.asarray(emb)[:n]
+        return self._framer.embed(self.variables, audio, hop_size)
 
     def embed_file(self, path: str, hop_size: float = 0.1) -> np.ndarray:
         from ..data.audio_io import load_audio

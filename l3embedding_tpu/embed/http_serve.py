@@ -59,6 +59,13 @@ from .stream import StreamingEmbedder
 LOGGER = logging.getLogger("l3embedding_tpu.embed.http")
 
 
+class TooManyStreams(RuntimeError):
+    """Stream-session capacity exhausted — mapped to 503 (retryable),
+    distinct from genuine OverflowErrors in client numeric input,
+    which are 400s (a load balancer treating 503 as backend-unhealthy
+    must not eject a server over one malformed request)."""
+
+
 class _ServiceWindows:
     """StreamingEmbedder-compatible view of the micro-batching service:
     windows from concurrent streams coalesce into shared device batches
@@ -112,7 +119,7 @@ class _State:
                         if now - ses.last_used > self.STREAM_IDLE_S]:
                 del self.streams[sid]
             if len(self.streams) >= self.MAX_STREAMS:
-                raise OverflowError(
+                raise TooManyStreams(
                     f"too many open streams ({self.MAX_STREAMS}); flush "
                     "stale sessions or raise _State.MAX_STREAMS"
                 )
@@ -173,10 +180,17 @@ class _Handler(BaseHTTPRequestHandler):
         self.close_connection = True
         self._reply_json(code, {"error": message})
 
-    def _read_body(self) -> bytes:
+    def _read_body(self, required: bool = True) -> bytes:
+        """Read (and thereby drain) the request body, size-capped.
+
+        Every endpoint must consume its body through this helper even
+        when the content is ignored — unread bytes on an HTTP/1.1
+        keep-alive connection get parsed as the NEXT request line."""
         length = int(self.headers.get("Content-Length", 0))
         if length <= 0:
-            raise ValueError("empty request body")
+            if required:
+                raise ValueError("empty request body")
+            return b""
         if length > 1 << 30:
             raise ValueError("request body too large")
         return self.rfile.read(length)
@@ -212,9 +226,11 @@ class _Handler(BaseHTTPRequestHandler):
         except KeyError as e:
             # Unknown/closed stream ids are 404 (the resource), not 400.
             return self._reply_error(404, str(e))
-        except OverflowError as e:
+        except TooManyStreams as e:
             return self._reply_error(503, str(e))
-        except (ValueError, json.JSONDecodeError) as e:
+        except (ValueError, OverflowError, json.JSONDecodeError) as e:
+            # OverflowError here is client numeric input (e.g. a JSON
+            # 1e999 hop parses to inf; int(inf*sr) overflows) — 400.
             return self._reply_error(400, str(e))
         except Exception as e:  # noqa: BLE001 — surface, don't kill thread
             LOGGER.exception("request failed")
@@ -262,9 +278,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _stream_open(self):
         hop = 0.1
-        length = int(self.headers.get("Content-Length", 0))
-        if length > 0:
-            payload = json.loads(self.rfile.read(length))
+        body = self._read_body(required=False)  # optional, size-capped
+        if body:
+            payload = json.loads(body)
             hop = float(payload.get("hop", 0.1))
         sid = self.state.open_stream(hop)
         self._reply_json(200, {
@@ -275,7 +291,9 @@ class _Handler(BaseHTTPRequestHandler):
 
     def _stream_feed(self, sid: str):
         session = self.state.get_stream(sid)
-        body = self._read_body()
+        # Empty chunks are a well-defined no-op (a live-capture client's
+        # silence gap / device hiccup must not tear down the session).
+        body = self._read_body(required=False)
         if len(body) % 4:
             raise ValueError(
                 f"body is {len(body)} bytes; expected raw <f4 PCM "
@@ -287,6 +305,7 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply_rows(emb)
 
     def _stream_flush(self, sid: str):
+        self._read_body(required=False)  # drain any (ignored) body
         session = self.state.get_stream(sid)
         with session.lock:
             emb = session.embedder.flush()

@@ -410,7 +410,12 @@ class QuantizedEmbeddingExtractor:
         self.pooling_type = pooling_type
         self.calib_cosine = None  # (min, mean) set by calibrate_files
         self.device_framing = bool(device_framing)
-        self._framed_fns: dict = {}  # (bucket, hop_length) -> jitted fn
+        from .extract import _DeviceFramer
+
+        self._framer = _DeviceFramer(
+            self.sr,
+            lambda scales, w: self.q._quantized_forward(scales, w),
+        )
 
     def calibrate_files(self, paths, hop_size: float = 0.1,
                         method: str = "amax", percentile: float = 99.99,
@@ -487,54 +492,18 @@ class QuantizedEmbeddingExtractor:
             return self._embed_audio_device_framed(audio, hop_size)
         return self.embed_windows(frame_uniform(audio, self.sr, hop_size))
 
-    def _framed_fn(self, bucket: int, hop_length: int):
-        """Jitted framing-as-gather + quantized embed: PCM buf → rows.
-
-        Same design as EmbeddingExtractor._framed_fn (extract.py): the
-        file's samples cross host→device ONCE and the `bucket`
-        overlapping windows are vmapped dynamic_slices, so int8's
-        compute win composes with the ~10x transfer saving."""
-        key = (bucket, hop_length)
-        fn = self._framed_fns.get(key)
-        if fn is None:
-            frame_length = self.sr
-            quantized_forward = self.q._quantized_forward
-
-            def framed(act_scales, buf):
-                starts = jnp.arange(bucket) * hop_length
-
-                def one(i):
-                    return jax.lax.dynamic_slice(buf, (i,), (frame_length,))
-
-                windows = jax.vmap(one)(starts)
-                return quantized_forward(act_scales, windows)
-
-            fn = self._framed_fns[key] = jax.jit(framed)
-        return fn
-
     def _embed_audio_device_framed(self, audio: np.ndarray,
                                    hop_size: float) -> np.ndarray:
-        from .extract import _bucket
-
         if self.q._act_scales is None:
             raise RuntimeError(
                 "calibrate_files(paths) must run before embed_audio — "
                 "static int8 scales come from calibration"
             )
-        hop_length = int(hop_size * self.sr)
-        frame_length = self.sr
-        n = (len(audio) - frame_length) // hop_length + 1
-        bucket = _bucket(n)
-        # Stage exactly the samples the bucket's windows cover: real PCM
-        # for the n true windows (a dropped non-hop-aligned tail matches
-        # frame_uniform's reference quirk), zeros for the bucket padding
-        # (discarded below; exact under symmetric quantization).
-        need = (bucket - 1) * hop_length + frame_length
-        buf = np.zeros(need, np.float32)
-        m = min(len(audio), need)
-        buf[:m] = audio[:m]
-        emb = self._framed_fn(bucket, hop_length)(self.q._act_scales, buf)
-        return np.asarray(emb)[:n]
+        # Shared framing-as-gather path (extract._DeviceFramer): int8's
+        # compute win composes with the ~10x transfer saving, and the
+        # zero-masked bucket padding is exact under symmetric
+        # quantization (zero maps to zero).
+        return self._framer.embed(self.q._act_scales, audio, hop_size)
 
     def embed_file(self, path: str, hop_size: float = 0.1) -> np.ndarray:
         from ..data.audio_io import load_audio

@@ -89,8 +89,11 @@ class StreamingEmbedder:
             windows.append(self._buf[start:start + self.frame_length].copy())
             self._next_offset += self.hop_length
         # Drop samples no window can need again (bounds memory at
-        # ~1 s regardless of stream length).
-        drop = self._next_offset - self._consumed
+        # ~1 s regardless of stream length). When hop > window the next
+        # offset can point past everything fed so far; only samples that
+        # actually exist can be dropped, else _consumed desyncs from the
+        # buffer and later windows start at the wrong sample.
+        drop = min(self._next_offset, self._total) - self._consumed
         if drop > 0:
             self._buf = self._buf[drop:]
             self._consumed += drop

@@ -167,3 +167,27 @@ def test_device_framing_matches_host_framing():
         want = ex.embed_audio(audio, hop_size=hop, device_framing=False)
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_device_framing_db_batch_global_padding_rows():
+    """Bucket-padding rows in the device-framed batch must be exactly
+    zero, like the host path's zero-pad windows. Under the kapre
+    batch-global dB quirk the dB reference is a max over the WHOLE
+    batch; the staged device buffer's padding windows overlap the
+    clip's trailing PCM — including a loud non-hop-aligned tail that
+    the reference framing drops from every real window — so unmasked
+    padding rows silently shift every real embedding."""
+    from l3embedding_tpu.embed.extract import EmbeddingExtractor
+
+    ex = EmbeddingExtractor(None, "tiny_L3", "original",
+                            db_batch_global=True, device_framing=True)
+    rng = np.random.RandomState(4)
+    sr = ex.sr
+    # 4 real windows at hop 0.5 s (bucket 16 → 12 padding rows); the
+    # dropped 7777-sample tail is much louder than any real window.
+    audio = (rng.randn(int(2.5 * sr) + 7777) * 0.05).astype(np.float32)
+    audio[-7777:] = 0.95
+    got = ex.embed_audio(audio, hop_size=0.5)
+    want = ex.embed_audio(audio, hop_size=0.5, device_framing=False)
+    assert got.shape == want.shape == (4, 350)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

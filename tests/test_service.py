@@ -140,6 +140,34 @@ def test_streaming_short_and_empty_streams(service):
     )
 
 
+def test_streaming_hop_larger_than_window(service):
+    """hop > window length (sparse sampling, e.g. one window every 2 s)
+    must reproduce the file path's window starts. Regression: the
+    buffer-drop arithmetic consumed samples that were never fed
+    (_consumed desynced past _total), silently shifting every window
+    after the first."""
+    from l3embedding_tpu.embed import StreamingEmbedder
+
+    ex = service.extractor
+    rng = np.random.RandomState(9)
+    audio = (rng.randn(int(5.3 * ex.sr)) * 0.1).astype(np.float32)
+
+    stream = StreamingEmbedder(ex, hop_size=2.0)
+    rows, i = [], 0
+    while i < len(audio):
+        n = int(rng.randint(1000, 90000))
+        rows.append(stream.feed(audio[i:i + n]))
+        i += n
+    rows.append(stream.flush())
+    got = np.concatenate([r for r in rows if r.size], axis=0)
+
+    want = ex.embed_audio(audio, hop_size=2.0)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # Memory still bounded even though most samples are skipped.
+    assert len(stream._buf) <= stream.frame_length
+
+
 def test_streaming_int_pcm_and_errors(service):
     """Integer PCM converts like the training pipeline (pcm2float);
     sealed or malformed streams fail loudly."""
@@ -433,6 +461,73 @@ class TestHTTPServing:
         assert ei.value.code == 400  # not a multiple of 4
         with self._post(srv, f"/v1/stream/{sid}/flush") as r:
             assert int(r.headers["X-Num-Windows"]) == 1  # empty stream
+
+    def test_stream_robustness_empty_feed_flush_body_and_bad_hop(
+            self, server):
+        """Protocol edge cases on one keep-alive connection: an empty
+        feed chunk is a no-op (silence gap from a live-capture client),
+        a flush sent with a non-empty body must not desync the
+        connection (the body is drained before replying), and a
+        non-finite hop is a 400 client error — not a 503, which a load
+        balancer would read as backend-unhealthy."""
+        import http.client
+        import json
+
+        srv, _ = server
+        host, port = srv.server_address
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        try:
+            conn.request("POST", "/v1/stream/open", b"",
+                         {"Content-Length": "0"})
+            r = conn.getresponse()
+            assert r.status == 200
+            sid = json.loads(r.read())["stream_id"]
+
+            # Empty chunk: 200 with zero windows, session stays open.
+            conn.request("POST", f"/v1/stream/{sid}/feed", b"",
+                         {"Content-Length": "0"})
+            r = conn.getresponse()
+            assert r.status == 200
+            assert int(r.headers["X-Num-Windows"]) == 0
+            assert r.read() == b""
+
+            # Flush WITH a (mistaken) body: the server must drain it,
+            # or the next request on this connection reads PCM bytes as
+            # a request line.
+            stray = np.zeros(1000, "<f4").tobytes()
+            conn.request("POST", f"/v1/stream/{sid}/flush", stray)
+            r = conn.getresponse()
+            assert r.status == 200
+            r.read()
+
+            # Same connection still usable: keep-alive not desynced.
+            conn.request("GET", "/healthz")
+            r = conn.getresponse()
+            assert r.status == 200
+            assert json.loads(r.read())["status"] == "ok"
+        finally:
+            conn.close()
+
+        # Infinite hop (JSON 1e999 → inf): 400, not 503/500.
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            self._post(srv, "/v1/stream/open", b'{"hop": 1e999}')
+        assert ei.value.code == 400
+
+        # Oversized open body: rejected by the shared size cap, not
+        # buffered into memory.
+        import http.client as hc
+
+        conn = hc.HTTPConnection(host, port, timeout=30)
+        try:
+            conn.putrequest("POST", "/v1/stream/open")
+            conn.putheader("Content-Length", str((1 << 30) + 1))
+            conn.endheaders()
+            r = conn.getresponse()
+            assert r.status == 400
+        finally:
+            conn.close()
 
     def test_concurrent_streams_coalesce(self, server):
         """Two interleaved sessions stay independent (and their windows
