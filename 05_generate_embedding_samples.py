@@ -91,6 +91,19 @@ def parse_arguments():
                         "observed absolute max, or at the 99.99th "
                         "percentile of |activations| (finer step, "
                         "saturates rare outliers)")
+    parser.add_argument("--int8-artifact", dest="int8_artifact", type=str,
+                        help="Load a pre-calibrated int8 artifact "
+                        "(save_artifact output) instead of calibrating: "
+                        "no f32 weight load, no calibration pass; the "
+                        "gate recorded at export is re-checked against "
+                        "--int8-min-cosine. Implies --int8. The model "
+                        "path is still used for the output layout only")
+    parser.add_argument("--int8-save-artifact", dest="int8_save_artifact",
+                        type=str,
+                        help="After calibrating, export the int8 tower "
+                        "(quantized weights + frozen scales + measured "
+                        "gate) to this .npz for artifact-based serving "
+                        "and later --int8-artifact runs")
     parser.add_argument("--fold", dest="fold", type=int,
                         help="Fold number to generate; all folds if unset")
     parser.add_argument("-ump", "--us8k-metadata-path",
@@ -141,7 +154,23 @@ if __name__ == "__main__":
             mesh = create_mesh()
             LOGGER.info("Sharding window batches over %d devices",
                         mesh.devices.size)
-        if args["int8"]:
+        if args["int8_artifact"]:
+            from l3embedding_tpu.embed import QuantizedEmbeddingExtractor
+
+            gate = args["int8_min_cosine"]
+            LOGGER.info("Loading int8 artifact %s...", args["int8_artifact"])
+            l3embedding_model = QuantizedEmbeddingExtractor.load_artifact(
+                args["int8_artifact"],
+                mesh=mesh,
+                device_framing=args["device_framing"],
+                min_cosine=gate if gate > 0 else None,
+            )
+            if l3embedding_model.model_type != model_type:
+                raise ValueError(
+                    f"artifact is a {l3embedding_model.model_type} tower "
+                    f"but the model path names {model_type}"
+                )
+        elif args["int8"]:
             import glob as _glob
 
             from l3embedding_tpu.embed import QuantizedEmbeddingExtractor
@@ -178,6 +207,8 @@ if __name__ == "__main__":
                 method=args["int8_calib_method"],
                 min_cosine=gate if gate > 0 else None,
             )
+            if args["int8_save_artifact"]:
+                l3embedding_model.save_artifact(args["int8_save_artifact"])
         else:
             l3embedding_model = EmbeddingExtractor(
                 model_path, model_type, pooling_type,

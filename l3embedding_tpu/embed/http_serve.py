@@ -345,12 +345,14 @@ def make_server(
     port: int = 8471,
     max_batch_size: int = 128,
     max_latency_ms: float = 5.0,
+    pipeline_depth: int = 2,
 ) -> ThreadingHTTPServer:
     """Build (but don't start) the HTTP server around an extractor."""
     service = EmbeddingService(
         extractor,
         max_batch_size=max_batch_size,
         max_latency_ms=max_latency_ms,
+        pipeline_depth=pipeline_depth,
     )
     state = _State(extractor, service)
     handler = type("BoundHandler", (_Handler,), {"state": state})
@@ -387,6 +389,10 @@ def main(argv=None):
                    help="bf16 tower (~1.3x throughput, cosine>=0.9999)")
     p.add_argument("--max-batch-size", type=int, default=128)
     p.add_argument("--max-latency-ms", type=float, default=5.0)
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="device batches in flight: >1 overlaps result "
+                        "readback with the next batch's compute "
+                        "(1 = synchronous)")
     p.add_argument("--mesh", action="store_true",
                    help="shard window batches over all local devices")
     p.add_argument("--int8", action="store_true",
@@ -410,6 +416,18 @@ def main(argv=None):
                    default="amax",
                    help="clip activation scales at the absolute max or "
                         "the 99.99th percentile of |activations|")
+    p.add_argument("--int8-artifact", default=None,
+                   help="serve a pre-calibrated int8 artifact "
+                        "(QuantizedEmbeddingExtractor.save_artifact / "
+                        "05 --int8-save-artifact output): no f32 "
+                        "checkpoint or calibration wavs needed on the "
+                        "serving host, instant startup; the accuracy "
+                        "gate recorded at export is re-checked against "
+                        "--int8-min-cosine")
+    p.add_argument("--int8-save-artifact", default=None,
+                   help="after --int8-calib calibration, export the "
+                        "quantized tower to this .npz so later starts "
+                        "can use --int8-artifact")
     args = p.parse_args(argv)
 
     mesh = None
@@ -417,14 +435,24 @@ def main(argv=None):
         from ..parallel import create_mesh
 
         mesh = create_mesh()
-    if args.int8:
+    if args.int8_artifact:
+        from .quantized import QuantizedEmbeddingExtractor
+
+        gate = args.int8_min_cosine
+        LOGGER.info("loading int8 artifact %s", args.int8_artifact)
+        extractor = QuantizedEmbeddingExtractor.load_artifact(
+            args.int8_artifact, mesh=mesh,
+            min_cosine=gate if gate > 0 else None,
+        )
+    elif args.int8:
         import glob as _glob
         import os as _os
 
         from .quantized import QuantizedEmbeddingExtractor
 
         if not args.int8_calib:
-            p.error("--int8 requires --int8-calib DIR (.wav files)")
+            p.error("--int8 requires --int8-calib DIR (.wav files) or "
+                    "--int8-artifact FILE")
         wavs = sorted(
             _glob.glob(_os.path.join(args.int8_calib, "**", "*.wav"),
                        recursive=True)
@@ -447,6 +475,8 @@ def main(argv=None):
             calib, method=args.int8_calib_method,
             min_cosine=gate if gate > 0 else None,
         )
+        if args.int8_save_artifact:
+            extractor.save_artifact(args.int8_save_artifact)
     else:
         extractor = EmbeddingExtractor(
             args.weights, args.model_type, args.pooling,
@@ -456,6 +486,7 @@ def main(argv=None):
         extractor, args.host, args.port,
         max_batch_size=args.max_batch_size,
         max_latency_ms=args.max_latency_ms,
+        pipeline_depth=args.pipeline_depth,
     )
     logging.basicConfig(level=logging.INFO)
     LOGGER.info(

@@ -264,6 +264,45 @@ class QuantizedAudioEmbedder:
         )
         self._embed_fn = jax.jit(self._quantized_forward)
 
+    @classmethod
+    def _from_quantized(cls, fold, pool, wq, wscale, biases, act_scales,
+                        mesh=None):
+        """Rebuild an embedder from already-quantized arrays (the int8
+        artifact load path — no f32 checkpoint, no calibration).
+
+        `fold` carries only the front-end description (convs/emb_conv
+        are None): the f32 reference tower is not part of a deployment
+        artifact, so calibrate()/embedding_cosine() refuse on instances
+        built this way — the gate was measured and recorded at export.
+        """
+        self = object.__new__(cls)
+        self.fold = fold
+        self.pool = pool
+        self._wq = [jnp.asarray(w, jnp.int8) for w in wq]
+        self._wscale = [jnp.asarray(s, jnp.float32) for s in wscale]
+        self._biases = [jnp.asarray(b, jnp.float32) for b in biases]
+        self._act_scales = jnp.asarray(act_scales, jnp.float32)
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import replicate
+
+            self._wq = replicate(self._wq, mesh)
+            self._wscale = replicate(self._wscale, mesh)
+            self._biases = replicate(self._biases, mesh)
+            self._act_scales = replicate(self._act_scales, mesh)
+        self._calib_fn = None
+        self._embed_fn = jax.jit(self._quantized_forward)
+        return self
+
+    def _require_reference_tower(self, what: str):
+        if self.fold.convs is None:
+            raise RuntimeError(
+                f"{what} needs the BN-folded f32 reference tower, which "
+                "an int8 artifact does not carry (the accuracy gate was "
+                "measured at export and rides in the artifact metadata). "
+                "Rebuild from the f32 checkpoint to recalibrate/regate."
+            )
+
     # -- calibration ---------------------------------------------------
     def calibrate(self, windows: np.ndarray, batch_size: int = 128,
                   method: str = "amax", percentile: float = 99.99):
@@ -278,6 +317,7 @@ class QuantizedAudioEmbedder:
         """
         if method not in ("amax", "percentile"):
             raise ValueError(f"unknown calibration method {method!r}")
+        self._require_reference_tower("calibrate()")
         amax, pct = None, None
         if method == "percentile":
             pct_fn = jax.jit(
@@ -333,13 +373,17 @@ class QuantizedAudioEmbedder:
         feat = z.astype(jnp.float32) * deq + self._biases[7]
         return _pool_flatten(feat, self.pool)
 
-    def embed_windows(self, windows: np.ndarray) -> np.ndarray:
+    def embed_windows_async(self, windows):
+        """Dispatch without synchronizing (lazy device array back; see
+        EmbeddingExtractor.embed_windows_async). A device-resident
+        jax.Array input skips the host-side conversion entirely."""
         if self._act_scales is None:
             raise RuntimeError(
                 "QuantizedAudioEmbedder.calibrate(windows) must run before "
                 "embed_windows — static int8 scales come from calibration"
             )
-        x = np.asarray(windows, np.float32)
+        x = (windows if isinstance(windows, jax.Array)
+             else np.asarray(windows, np.float32))
         if self.mesh is not None:
             from ..parallel import batch_sharding
 
@@ -351,13 +395,17 @@ class QuantizedAudioEmbedder:
                     [x, np.zeros((m - n, x.shape[1]), np.float32)]
                 )
             x = jax.device_put(x, batch_sharding(self.mesh))
-            return np.asarray(self._embed_fn(self._act_scales, x))[:n]
-        return np.asarray(self._embed_fn(self._act_scales, x))
+            return self._embed_fn(self._act_scales, x)[:n]
+        return self._embed_fn(self._act_scales, x)
+
+    def embed_windows(self, windows: np.ndarray) -> np.ndarray:
+        return np.asarray(self.embed_windows_async(windows))
 
     # -- gating --------------------------------------------------------
     def embedding_cosine(self, windows: np.ndarray):
         """Min/mean cosine of int8 embeddings vs the BN-folded f32 tower
         (HIGHEST-precision front-end) on `windows`."""
+        self._require_reference_tower("embedding_cosine()")
         x = np.asarray(windows, np.float32)
         got = self.embed_windows(x)
         ref_fn = jax.jit(
@@ -469,7 +517,9 @@ class QuantizedEmbeddingExtractor:
             )
         return self.calib_cosine
 
-    def embed_windows(self, windows: np.ndarray) -> np.ndarray:
+    def embed_windows_async(self, windows: np.ndarray):
+        """Bucket-padded async dispatch (lazy device array back; see
+        EmbeddingExtractor.embed_windows_async)."""
         from .extract import _bucket
 
         n = windows.shape[0]
@@ -478,7 +528,10 @@ class QuantizedEmbeddingExtractor:
             windows = np.concatenate(
                 [windows, np.zeros((bucket - n, windows.shape[1]), np.float32)]
             )
-        return self.q.embed_windows(windows)[:n]
+        return self.q.embed_windows_async(windows)[:n]
+
+    def embed_windows(self, windows: np.ndarray) -> np.ndarray:
+        return np.asarray(self.embed_windows_async(windows))
 
     def embed_audio(self, audio: np.ndarray, hop_size: float = 0.1,
                     device_framing: bool | None = None) -> np.ndarray:
@@ -509,3 +562,138 @@ class QuantizedEmbeddingExtractor:
         from ..data.audio_io import load_audio
 
         return self.embed_audio(load_audio(path, self.sr), hop_size=hop_size)
+
+    # -- deployment artifact --------------------------------------------
+    ARTIFACT_FORMAT = "l3embedding_tpu-int8-artifact"
+    ARTIFACT_VERSION = 1
+
+    def save_artifact(self, path: str) -> None:
+        """Export the calibrated int8 tower as one self-contained .npz.
+
+        Deployment recipe: calibrate ONCE (scales frozen, accuracy gate
+        measured), ship the artifact, serve it everywhere — instead of
+        recalibrating at every `05 --int8` run / server start, which
+        costs minutes, needs the f32 checkpoint plus calibration wavs on
+        the serving host, and can drift between hosts if their wav sets
+        differ. Contents: the 8 per-channel-quantized int8 convs with
+        their scales and folded biases, the static activation scales,
+        the folded input BN, the front-end description, and the measured
+        min/mean calibration cosine (so a loader can re-check the
+        BASELINE 0.999 gate without recomputing). ~4x smaller than the
+        f32 checkpoint. Written atomically (tmp + rename)."""
+        import json
+        import os
+
+        q = self.q
+        if q._act_scales is None:
+            raise RuntimeError(
+                "calibrate_files() must run before save_artifact — the "
+                "artifact freezes calibrated scales"
+            )
+        arrays = {}
+        for i in range(8):
+            arrays[f"wq_{i}"] = np.asarray(jax.device_get(q._wq[i]))
+            arrays[f"wscale_{i}"] = np.asarray(jax.device_get(q._wscale[i]))
+            arrays[f"bias_{i}"] = np.asarray(jax.device_get(q._biases[i]))
+        arrays["act_scales"] = np.asarray(jax.device_get(q._act_scales))
+        if q.fold.input_affine is not None:
+            arrays["input_affine_a"] = np.asarray(q.fold.input_affine[0])
+            arrays["input_affine_c"] = np.asarray(q.fold.input_affine[1])
+        cmin, cmean = (self.calib_cosine if self.calib_cosine is not None
+                       else (None, None))
+        meta = {
+            "format": self.ARTIFACT_FORMAT,
+            "version": self.ARTIFACT_VERSION,
+            "model_type": self.model_type,
+            "pooling_type": self.pooling_type,
+            "sr": int(self.sr),
+            "frontend_kind": q.fold.frontend_kind,
+            "n_mels": int(q.fold.n_mels),
+            "db_batch_global": bool(q.fold.db_batch_global),
+            "calib_cosine_min": cmin,
+            "calib_cosine_mean": cmean,
+        }
+        arrays["meta_json"] = np.frombuffer(
+            json.dumps(meta).encode(), np.uint8
+        )
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+        LOGGER.info(
+            "saved int8 artifact %s (%s/%s, measured min cosine %s)",
+            path, self.model_type, self.pooling_type,
+            "unrecorded" if cmin is None else f"{cmin:.6f}",
+        )
+
+    @classmethod
+    def load_artifact(cls, path: str, mesh=None, device_framing: bool = False,
+                      min_cosine: float | None = 0.999):
+        """Rebuild a serving-ready extractor from save_artifact output.
+
+        No f32 checkpoint, no calibration pass: the quantized weights and
+        frozen scales load directly (first embed call still jit-compiles
+        per batch bucket). `min_cosine` re-checks the gate RECORDED at
+        export (raises IntEightAccuracyError below it; None skips, e.g.
+        for artifacts exported before calibrate_files measured one)."""
+        import json
+
+        with np.load(path) as z:
+            meta = json.loads(bytes(z["meta_json"].tobytes()).decode())
+            if meta.get("format") != cls.ARTIFACT_FORMAT:
+                raise ValueError(f"{path} is not an int8 artifact")
+            if int(meta.get("version", 0)) > cls.ARTIFACT_VERSION:
+                raise ValueError(
+                    f"{path} is artifact version {meta['version']}; this "
+                    f"build reads <= {cls.ARTIFACT_VERSION}"
+                )
+            wq = [z[f"wq_{i}"] for i in range(8)]
+            wscale = [z[f"wscale_{i}"] for i in range(8)]
+            biases = [z[f"bias_{i}"] for i in range(8)]
+            act_scales = z["act_scales"]
+            input_affine = (
+                (z["input_affine_a"], z["input_affine_c"])
+                if "input_affine_a" in z else None
+            )
+        cmin = meta.get("calib_cosine_min")
+        if min_cosine is not None:
+            if cmin is None:
+                raise IntEightAccuracyError(
+                    f"{path} records no calibration cosine; pass "
+                    "min_cosine=None to load it ungated"
+                )
+            if cmin < min_cosine:
+                raise IntEightAccuracyError(
+                    f"{path} recorded min cosine {cmin:.6f} at export — "
+                    f"below the required {min_cosine:g}. Re-export with "
+                    "better calibration or override the gate explicitly."
+                )
+        spec = build_model(meta["model_type"])
+        pool = spec.audio_embedding_pooling[meta["pooling_type"]]
+        fold = _FoldedTower(
+            frontend_kind=meta["frontend_kind"],
+            n_mels=int(meta["n_mels"]),
+            input_affine=input_affine,
+            convs=None,
+            emb_conv=None,
+            db_batch_global=bool(meta["db_batch_global"]),
+        )
+        self = object.__new__(cls)
+        self.q = QuantizedAudioEmbedder._from_quantized(
+            fold, pool, wq, wscale, biases, act_scales, mesh=mesh
+        )
+        self.sr = int(meta["sr"])
+        self.model_type = meta["model_type"]
+        self.pooling_type = meta["pooling_type"]
+        self.calib_cosine = (
+            None if cmin is None
+            else (float(cmin), float(meta["calib_cosine_mean"]))
+        )
+        self.device_framing = bool(device_framing)
+        from .extract import _DeviceFramer
+
+        self._framer = _DeviceFramer(
+            self.sr,
+            lambda scales, w: self.q._quantized_forward(scales, w),
+        )
+        return self

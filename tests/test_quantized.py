@@ -185,6 +185,64 @@ def test_calibrate_files_measures_and_gates(file_extractor):
     assert got == ex.calib_cosine
 
 
+def test_int8_artifact_roundtrip(file_extractor, tmp_path):
+    """Deployment artifact (05 --int8-save-artifact / --int8-artifact,
+    http_serve --int8-artifact): calibrate once, save, load on a
+    'serving host' with no f32 checkpoint — identical embeddings (int8
+    inference is deterministic), the recorded gate preserved and
+    re-checked at load, and the loaded instance refuses
+    recalibration/regating (it carries no f32 reference tower)."""
+    from l3embedding_tpu.embed.quantized import (
+        IntEightAccuracyError,
+        QuantizedEmbeddingExtractor,
+    )
+
+    ex, paths = file_extractor
+    art = str(tmp_path / "tower.int8.npz")
+    ex.save_artifact(art)
+
+    loaded = QuantizedEmbeddingExtractor.load_artifact(
+        art, min_cosine=ex.calib_cosine[0] - 1e-6
+    )
+    assert loaded.model_type == MODEL
+    assert loaded.pooling_type == "short"
+    assert loaded.calib_cosine == pytest.approx(ex.calib_cosine)
+
+    w = _audio(3, seed=11)
+    np.testing.assert_array_equal(
+        loaded.embed_windows(w), ex.embed_windows(w)
+    )
+    np.testing.assert_array_equal(
+        loaded.embed_file(paths[0]), ex.embed_file(paths[0])
+    )
+    # Device framing works straight off the artifact too.
+    framed = QuantizedEmbeddingExtractor.load_artifact(
+        art, device_framing=True, min_cosine=None
+    )
+    audio = _audio(1, seed=12)[0]
+    long_audio = np.concatenate([audio, audio])[: int(1.6 * 48000)]
+    np.testing.assert_allclose(
+        framed.embed_audio(long_audio, hop_size=0.5),
+        loaded.embed_audio(long_audio, hop_size=0.5),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # The gate recorded at export is enforced at load…
+    with pytest.raises(IntEightAccuracyError, match="recorded min cosine"):
+        QuantizedEmbeddingExtractor.load_artifact(art, min_cosine=1.0)
+    # …and artifact-loaded towers cannot be silently re-gated or
+    # recalibrated: the f32 reference stays with the checkpoint.
+    with pytest.raises(RuntimeError, match="reference tower"):
+        loaded.q.embedding_cosine(w)
+    with pytest.raises(RuntimeError, match="reference tower"):
+        loaded.calibrate_files(paths)
+    # Not an artifact → clear error.
+    bogus = str(tmp_path / "bogus.npz")
+    np.savez(bogus, x=np.zeros(3))
+    with pytest.raises((ValueError, KeyError)):
+        QuantizedEmbeddingExtractor.load_artifact(bogus)
+
+
 def test_percentile_calibration(variables):
     """Percentile clipping is the documented fallback when amax misses
     the gate: scales must be <= the amax scales and accuracy must stay
