@@ -203,8 +203,15 @@ class EmbeddingExtractor:
             self.sr, lambda variables, w: self._raw_fn(variables, w[:, None, :])
         )
 
-    def embed_windows(self, windows: np.ndarray) -> np.ndarray:
-        """(N, frame_length) float32 → (N, dim) embeddings."""
+    def embed_windows_async(self, windows: np.ndarray):
+        """Dispatch (N, frame_length) windows without synchronizing.
+
+        Returns a lazy device array; np.asarray(...) materializes the
+        (N, dim) rows. Lets a pipelined caller (embed/service.py) keep
+        the device computing batch k+1 while batch k's embeddings
+        transfer back. `windows` may already be a device-resident
+        jax.Array of an exact bucket size, in which case no host→device
+        transfer happens here."""
         n = windows.shape[0]
         bucket = _bucket(n)
         if self.mesh is not None:
@@ -222,7 +229,11 @@ class EmbeddingExtractor:
 
             x = jax.device_put(x, batch_sharding(self.mesh))
         emb = self._fn(self.variables, x)
-        return np.asarray(emb)[:n]
+        return emb[:n]
+
+    def embed_windows(self, windows: np.ndarray) -> np.ndarray:
+        """(N, frame_length) float32 → (N, dim) embeddings."""
+        return np.asarray(self.embed_windows_async(windows))
 
     def embed_audio(self, audio: np.ndarray, hop_size: float = 0.1,
                     device_framing: bool | None = None) -> np.ndarray:

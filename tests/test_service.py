@@ -84,6 +84,65 @@ def test_loopback_bench_coalesces(service):
     assert res["max_coalesced_batch"] <= 32
 
 
+def test_embed_windows_async_matches_sync(service):
+    """embed_windows_async (the pipelined service's dispatch path) is a
+    lazy handle over the identical computation: materializing it must
+    equal embed_windows bit-for-bit, including non-bucket batch sizes."""
+    ex = service.extractor
+    rng = np.random.RandomState(3)
+    for n in (1, 3, 16, 17):
+        w = rng.randn(n, 48000).astype(np.float32) * 0.1
+        lazy = ex.embed_windows_async(w)
+        assert lazy.shape == (n, 350)
+        np.testing.assert_array_equal(np.asarray(lazy), ex.embed_windows(w))
+
+
+def test_pipeline_depth_overlap_and_sync_mode(service):
+    """pipeline_depth > 1 keeps dispatch ahead of collection without
+    reordering or corrupting scatter; depth=1 (synchronous) produces the
+    same results."""
+    ex = service.extractor
+    rng = np.random.RandomState(4)
+    inputs = [rng.randn(n, 48000).astype(np.float32) * 0.1
+              for n in (2, 1, 3, 1, 2, 4, 1, 1)]
+    want = [ex.embed_windows(w) for w in inputs]
+    for depth in (1, 3):
+        with EmbeddingService(ex, max_batch_size=4, max_latency_ms=5,
+                              pipeline_depth=depth) as svc:
+            futs = [svc.submit(w) for w in inputs]
+            for f, w, expect in zip(futs, inputs, want):
+                got = f.result(timeout=120)
+                assert got.shape == (w.shape[0], 350)
+                np.testing.assert_allclose(got, expect, rtol=1e-5,
+                                           atol=1e-6)
+
+
+def test_loopback_staged_device_mode(service):
+    """bench_serving --staged-device: coalesced batches run on
+    pre-staged device windows with scalar-fetch sync; every request
+    still resolves with correctly-shaped rows and batch sizes are
+    recorded (the relay-byte-excluded ceiling measurement)."""
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from bench_serving import _BatchRecorder, run_load_loopback
+
+    recorder = _BatchRecorder(service.extractor, staged=True)
+    with EmbeddingService(recorder, max_batch_size=8, max_latency_ms=10,
+                          pipeline_depth=2) as svc:
+        res = run_load_loopback(
+            svc, recorder, n_clients=4, n_requests=5,
+            windows_per_req=2, window_samples=48000,
+            rng=np.random.RandomState(5),
+        )
+    assert res["aggregate_clips_per_sec"] > 0
+    assert res["mean_coalesced_batch"] >= 2
+    # Staged inputs upload once per bucket, not per batch.
+    assert set(recorder._staged) <= {2, 4, 8, 16}
+
+
 def test_streaming_matches_file_path(service):
     """StreamingEmbedder fed arbitrary-size chunks must reproduce the
     file extraction path row-for-row (embed/stream.py; the reference

@@ -26,6 +26,19 @@ quantized tower (synthetic amax calibration — throughput shape only).
 
     python tools/bench_serving.py --loopback --clients 1,8,64,128
     python tools/bench_serving.py --loopback --int8 --clients 64,128
+
+--staged-device (implies --loopback) additionally excludes the per-batch
+relay bytes this dev image suffers (window upload rides a ~30 MB/s
+tunnel — 24.6 MB per 128-batch ≈ 0.8 s, two orders above the compute; a
+production PCIe host moves it in ~2 ms): each coalesced batch's windows
+are swapped for a pre-staged device-resident buffer of the same bucket
+size and results sync with a 4-byte scalar fetch. What remains measured
+is exactly the service stack — queue, coalescing decisions, host concat,
+dispatch, device compute, pipelining — i.e. whether the machinery can
+saturate the chip when transport isn't the limit.
+
+    python tools/bench_serving.py --staged-device --int8 \\
+        --max-batch-size 512 --windows-per-request 32 --clients 4,16,64
 """
 
 import argparse
@@ -41,22 +54,77 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+class _ScalarSynced:
+    """Lazy result handle for --staged-device: materialization waits for
+    the device batch with a 4-byte scalar fetch (the tunnel-safe sync —
+    jax.block_until_ready is unreliable through the relay) instead of
+    pulling the full embedding buffer through the ~30 MB/s relay, then
+    hands back correctly-shaped placeholder rows."""
+
+    def __init__(self, emb, n):
+        self._emb = emb
+        self._n = n
+
+    def __array__(self, dtype=None, copy=None):
+        float(self._emb.ravel()[0])  # device-side slice: 4-byte sync
+        out = np.zeros((self._n, int(self._emb.shape[-1])), np.float32)
+        return out if dtype is None else out.astype(dtype)
+
+
 class _BatchRecorder:
     """Extractor proxy that records every device-batch size the service
     worker coalesces (before the extractor's own bucket padding), so the
     loopback sweep can report how close micro-batching gets to
-    max_batch under load."""
+    max_batch under load.
 
-    def __init__(self, extractor):
+    staged=True swaps each batch's windows for a pre-staged
+    device-resident buffer of the same bucket size (uploaded once) and
+    returns _ScalarSynced handles, excluding the dev tunnel's per-batch
+    relay bytes from the measurement (see module docstring)."""
+
+    def __init__(self, extractor, staged=False):
         self._extractor = extractor
         self.sizes = []
+        self._staged = {} if staged else None
+        self._rng = np.random.RandomState(123)
 
     def __getattr__(self, name):
         return getattr(self._extractor, name)
 
+    def _staged_input(self, bucket):
+        import jax
+
+        dev = self._staged.get(bucket)
+        if dev is None:
+            quantized = hasattr(self._extractor, "q")
+            shape = ((bucket, self._extractor.sr) if quantized
+                     else (bucket, 1, self._extractor.sr))
+            dev = self._staged[bucket] = jax.device_put(
+                (self._rng.randn(*shape) * 0.1).astype(np.float32)
+            )
+        return dev
+
+    def _embed_async(self, windows):
+        if self._staged is None:
+            return self._extractor.embed_windows_async(windows)
+        from l3embedding_tpu.embed.extract import _bucket
+
+        n = int(windows.shape[0])
+        ex = self._extractor
+        dev = self._staged_input(_bucket(n))
+        if hasattr(ex, "q"):  # quantized tower: direct jitted call
+            emb = ex.q._embed_fn(ex.q._act_scales, dev)
+        else:
+            emb = ex._fn(ex.variables, dev)
+        return _ScalarSynced(emb, n)
+
+    def embed_windows_async(self, windows):
+        self.sizes.append(int(windows.shape[0]))
+        return self._embed_async(windows)
+
     def embed_windows(self, windows):
         self.sizes.append(int(windows.shape[0]))
-        return self._extractor.embed_windows(windows)
+        return np.asarray(self._embed_async(windows))
 
     def snapshot(self):
         sizes, self.sizes = self.sizes, []
@@ -197,6 +265,15 @@ def main():
                    help="drive EmbeddingService.submit in-process "
                         "(no HTTP/ingress): the service stack's true "
                         "ceiling (VERDICT r3 #4)")
+    p.add_argument("--staged-device", action="store_true",
+                   help="loopback with per-batch relay bytes excluded: "
+                        "coalesced batches run on pre-staged "
+                        "device-resident windows and sync via a 4-byte "
+                        "scalar fetch (see module docstring); implies "
+                        "--loopback")
+    p.add_argument("--pipeline-depth", type=int, default=2,
+                   help="service pipeline depth (device batches in "
+                        "flight; 1 = synchronous)")
     p.add_argument("--clients", default="1,2,4,8,16,32,64")
     p.add_argument("--requests", type=int, default=30)
     p.add_argument("--windows-per-request", type=int, default=1)
@@ -230,19 +307,23 @@ def main():
             None, args.model_type, args.pooling, fast=args.fast
         )
 
-    recorder = _BatchRecorder(extractor)
+    if args.staged_device:
+        args.loopback = True
+    recorder = _BatchRecorder(extractor, staged=args.staged_device)
     server = None
     if args.loopback:
         service = EmbeddingService(
             recorder,
             max_batch_size=args.max_batch_size,
             max_latency_ms=args.max_latency_ms,
+            pipeline_depth=args.pipeline_depth,
         )
     else:
         server = make_server(
             recorder, "127.0.0.1", args.port,
             max_batch_size=args.max_batch_size,
             max_latency_ms=args.max_latency_ms,
+            pipeline_depth=args.pipeline_depth,
         )
         service = server.l3_service
         port = server.server_address[1]
@@ -255,6 +336,9 @@ def main():
         model_type=args.model_type, pooling=args.pooling,
         dtype="int8" if args.int8 else ("bf16" if args.fast else "f32"),
         loopback=bool(args.loopback),
+        staged_device=bool(args.staged_device),
+        pipeline_depth=args.pipeline_depth,
+        max_batch_size=args.max_batch_size,
     )
     try:
         # Warm every shape bucket the sweep can coalesce into (powers of
