@@ -53,12 +53,13 @@ def load_us8k_metadata(path):
 
 
 def _write_features(audio_path, output_path, features, l3embedding_model,
-                    **feature_args):
+                    defer=False, **feature_args):
     if os.path.exists(output_path):
         LOGGER.info("File %s already exists", output_path)
         return None
     X = compute_file_features(
-        audio_path, features, l3embedding_model=l3embedding_model, **feature_args
+        audio_path, features, l3embedding_model=l3embedding_model,
+        defer=defer, **feature_args
     )
     if X is None:
         LOGGER.error("Could not generate data for %s", audio_path)
@@ -66,19 +67,63 @@ def _write_features(audio_path, output_path, features, l3embedding_model,
     return X
 
 
+class _PendingWriter:
+    """Write-behind npz writer for the per-file extraction loops.
+
+    The per-file chain — decode → device dispatch → sync → gzip'd
+    np.savez_compressed — is otherwise fully serial, so the device
+    idles during every file's compression and the host idles during
+    every file's compute. Holding up to `depth` dispatched files
+    pending (their X is a lazy device handle from
+    embed_audio_async/compute_file_features(defer=True)) overlaps file
+    k's materialize+compress with file k+1's decode+compute. Files are
+    written in dispatch order; identical bytes to the serial loop."""
+
+    def __init__(self, depth: int = 2):
+        from collections import deque
+
+        self.depth = max(1, int(depth))
+        self._pending = deque()
+
+    def add(self, output_path, X, y):
+        self._pending.append((output_path, X, y))
+        while len(self._pending) >= self.depth:
+            self._flush_one()
+
+    def _flush_one(self):
+        output_path, X, y = self._pending.popleft()
+        np.savez_compressed(output_path, X=np.asarray(X), y=y)
+
+    def close(self):
+        while self._pending:
+            self._flush_one()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        # On error, still land what was already dispatched (idempotent
+        # reruns then skip those files).
+        self.close()
+        return False
+
+
 # ---------------------------------------------------------------- us8k
 
 def generate_us8k_file_data(fname, example_metadata, audio_fold_dir,
                             output_fold_dir, features, l3embedding_model,
-                            **feature_args):
+                            writer=None, **feature_args):
     audio_path = os.path.join(audio_fold_dir, fname)
     basename = os.path.splitext(fname)[0]
     output_path = os.path.join(output_fold_dir, basename + ".npz")
     X = _write_features(audio_path, output_path, features, l3embedding_model,
-                        **feature_args)
+                        defer=writer is not None, **feature_args)
     if X is None:
         return
-    np.savez_compressed(output_path, X=X, y=example_metadata["classID"])
+    if writer is not None:
+        writer.add(output_path, X, example_metadata["classID"])
+    else:
+        np.savez_compressed(output_path, X=X, y=example_metadata["classID"])
     return output_path, "success"
 
 
@@ -97,31 +142,35 @@ def generate_us8k_fold_data(metadata, data_dir, fold_idx, output_dir,
     LOGGER.info("Generating fold %d in %s", fold_idx + 1, output_fold_dir)
 
     num_files = len(metadata[fold_idx])
-    for idx, (fname, example_metadata) in enumerate(metadata[fold_idx].items()):
-        with LogTimer(LOGGER, f"({idx+1}/{num_files}) Processed {fname} -"):
-            # Glob-match augmented variants of the base clip
-            # (reference us8k.py:127-130).
-            stem = os.path.splitext(fname)[0]
-            variants = [
-                x
-                for x in glob.glob(
-                    os.path.join(
-                        audio_fold_dir, "**", stem + "[!0-9]*[wm][ap][v3]"
-                    ),
-                    recursive=True,
-                )
-                if os.path.isfile(x) and not x.endswith(".jams")
-            ]
-            for var_path in variants:
-                generate_us8k_file_data(
-                    os.path.basename(var_path),
-                    example_metadata,
-                    os.path.dirname(var_path),
-                    output_fold_dir,
-                    features,
-                    l3embedding_model,
-                    **feature_args,
-                )
+    with _PendingWriter() as writer:
+        for idx, (fname, example_metadata) in enumerate(
+                metadata[fold_idx].items()):
+            with LogTimer(LOGGER,
+                          f"({idx+1}/{num_files}) Processed {fname} -"):
+                # Glob-match augmented variants of the base clip
+                # (reference us8k.py:127-130).
+                stem = os.path.splitext(fname)[0]
+                variants = [
+                    x
+                    for x in glob.glob(
+                        os.path.join(
+                            audio_fold_dir, "**", stem + "[!0-9]*[wm][ap][v3]"
+                        ),
+                        recursive=True,
+                    )
+                    if os.path.isfile(x) and not x.endswith(".jams")
+                ]
+                for var_path in variants:
+                    generate_us8k_file_data(
+                        os.path.basename(var_path),
+                        example_metadata,
+                        os.path.dirname(var_path),
+                        output_fold_dir,
+                        features,
+                        l3embedding_model,
+                        writer=writer,
+                        **feature_args,
+                    )
 
 
 def generate_us8k_folds(metadata_path, data_dir, output_dir,
@@ -139,15 +188,19 @@ def generate_us8k_folds(metadata_path, data_dir, output_dir,
 # --------------------------------------------------------------- esc50
 
 def generate_esc50_file_data(fname, audio_fold_dir, output_fold_dir, features,
-                             l3embedding_model, **feature_args):
+                             l3embedding_model, writer=None, **feature_args):
     audio_path = os.path.join(audio_fold_dir, fname)
     basename = os.path.splitext(fname)[0]
     output_path = os.path.join(output_fold_dir, basename + ".npz")
     X = _write_features(audio_path, output_path, features, l3embedding_model,
-                        **feature_args)
+                        defer=writer is not None, **feature_args)
     if X is None:
         return
-    np.savez_compressed(output_path, X=X, y=int(basename.split("-")[-1]))
+    y = int(basename.split("-")[-1])
+    if writer is not None:
+        writer.add(output_path, X, y)
+    else:
+        np.savez_compressed(output_path, X=X, y=y)
     return output_path, "success"
 
 
@@ -161,13 +214,15 @@ def generate_esc50_fold_data(data_dir, fold_idx, output_dir,
     output_fold_dir = os.path.join(output_dir, f"fold{fold_idx + 1}")
     os.makedirs(output_fold_dir, exist_ok=True)
     files = sorted(glob.glob(audio_fold_dir + "/*"))
-    for idx, f in enumerate(files):
-        fname = os.path.basename(f)
-        with LogTimer(LOGGER, f"({idx+1}/{len(files)}) Processed {fname} -"):
-            generate_esc50_file_data(
-                fname, audio_fold_dir, output_fold_dir, features,
-                l3embedding_model, **feature_args,
-            )
+    with _PendingWriter() as writer:
+        for idx, f in enumerate(files):
+            fname = os.path.basename(f)
+            with LogTimer(LOGGER,
+                          f"({idx+1}/{len(files)}) Processed {fname} -"):
+                generate_esc50_file_data(
+                    fname, audio_fold_dir, output_fold_dir, features,
+                    l3embedding_model, writer=writer, **feature_args,
+                )
 
 
 def generate_esc50_folds(data_dir, output_dir, l3embedding_model=None,
@@ -183,16 +238,21 @@ def generate_esc50_folds(data_dir, output_dir, l3embedding_model=None,
 # ----------------------------------------------------------- dcase2013
 
 def generate_dcase2013_file_data(fname, audio_fold_dir, output_fold_dir,
-                                 features, l3embedding_model, **feature_args):
+                                 features, l3embedding_model, writer=None,
+                                 **feature_args):
     audio_path = os.path.join(audio_fold_dir, fname)
     basename = os.path.splitext(fname)[0]
     output_path = os.path.join(output_fold_dir, basename + ".npz")
     X = _write_features(audio_path, output_path, features, l3embedding_model,
-                        **feature_args)
+                        defer=writer is not None, **feature_args)
     if X is None:
         return
     # Stem is '<class><2-digit index>' (reference dcase2013.py:85).
-    np.savez_compressed(output_path, X=X, y=DCASE2013_CLASS_TO_INT[basename[:-2]])
+    y = DCASE2013_CLASS_TO_INT[basename[:-2]]
+    if writer is not None:
+        writer.add(output_path, X, y)
+    else:
+        np.savez_compressed(output_path, X=X, y=y)
     return output_path, "success"
 
 
@@ -206,13 +266,15 @@ def generate_dcase2013_fold_data(data_dir, fold_idx, output_dir,
     output_fold_dir = os.path.join(output_dir, f"fold{fold_idx + 1}")
     os.makedirs(output_fold_dir, exist_ok=True)
     files = sorted(glob.glob(audio_fold_dir + "/*"))
-    for idx, f in enumerate(files):
-        fname = os.path.basename(f)
-        with LogTimer(LOGGER, f"({idx+1}/{len(files)}) Processed {fname} -"):
-            generate_dcase2013_file_data(
-                fname, audio_fold_dir, output_fold_dir, features,
-                l3embedding_model, **feature_args,
-            )
+    with _PendingWriter() as writer:
+        for idx, f in enumerate(files):
+            fname = os.path.basename(f)
+            with LogTimer(LOGGER,
+                          f"({idx+1}/{len(files)}) Processed {fname} -"):
+                generate_dcase2013_file_data(
+                    fname, audio_fold_dir, output_fold_dir, features,
+                    l3embedding_model, writer=writer, **feature_args,
+                )
 
 
 def generate_dcase2013_folds(data_dir, output_dir, l3embedding_model=None,

@@ -165,12 +165,17 @@ def flatten_file_frames(X, y):
     return X_flat, y_flat
 
 
-def get_l3_frames_uniform(audio, extractor, hop_size=0.1, sr=48000):
+def get_l3_frames_uniform(audio, extractor, hop_size=0.1, sr=48000,
+                          defer=False):
     """L3 embedding per overlapping 1 s window
     (reference features.py:256-306); `extractor` is an
-    embed.EmbeddingExtractor."""
+    embed.EmbeddingExtractor. defer=True returns a lazy device handle
+    (np.asarray materializes) so a file loop can overlap this file's
+    device compute with the previous file's npz write."""
     if isinstance(audio, str):
         audio = load_audio(audio, sr)
+    if defer:
+        return extractor.embed_audio_async(audio, hop_size=hop_size)
     return extractor.embed_audio(audio, hop_size=hop_size)
 
 
@@ -183,16 +188,23 @@ def get_vggish_frames_uniform(audio_path, hop_size=0.1, resources_dir=None):
     return extractor.embed_file(audio_path, hop_size=hop_size)
 
 
-def compute_file_features(path, feature_type, l3embedding_model=None, **feature_args):
+def compute_file_features(path, feature_type, l3embedding_model=None,
+                           defer=False, **feature_args):
     """Dispatch (reference features.py:309-323). `l3embedding_model` is
-    an EmbeddingExtractor (name kept for CLI-surface parity)."""
+    an EmbeddingExtractor (name kept for CLI-surface parity).
+
+    defer=True may return a lazy device handle instead of an ndarray
+    (np.asarray materializes it) — used by the datasets' write-behind
+    file loops. Feature types without an async path return a plain
+    ndarray, which duck-types as an already-materialized handle."""
     if feature_type == "l3":
         if not l3embedding_model:
             raise ValueError(
                 f"Must provide L3 embedding model to use {feature_type} features"
             )
         hop_size = feature_args.get("hop_size", 0.1)
-        return get_l3_frames_uniform(path, l3embedding_model, hop_size=hop_size)
+        return get_l3_frames_uniform(path, l3embedding_model,
+                                     hop_size=hop_size, defer=defer)
     elif feature_type == "vggish":
         hop_size = feature_args.get("hop_size", 0.1)
         return get_vggish_frames_uniform(

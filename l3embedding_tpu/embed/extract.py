@@ -116,7 +116,8 @@ class _DeviceFramer:
             fn = self._fns[key] = jax.jit(framed)
         return fn
 
-    def embed(self, operand, audio: np.ndarray, hop_size: float) -> np.ndarray:
+    def embed_async(self, operand, audio: np.ndarray, hop_size: float):
+        """Upload + dispatch, no sync: lazy (n, dim) device array back."""
         hop_length = int(hop_size * self.sr)
         frame_length = self.sr
         n = (len(audio) - frame_length) // hop_length + 1
@@ -129,7 +130,10 @@ class _DeviceFramer:
         m = min(len(audio), need)
         buf[:m] = audio[:m]
         emb = self._fn(bucket, hop_length)(operand, buf, np.int32(n))
-        return np.asarray(emb)[:n]
+        return emb[:n]
+
+    def embed(self, operand, audio: np.ndarray, hop_size: float) -> np.ndarray:
+        return np.asarray(self.embed_async(operand, audio, hop_size))
 
 
 class EmbeddingExtractor:
@@ -235,19 +239,27 @@ class EmbeddingExtractor:
         """(N, frame_length) float32 → (N, dim) embeddings."""
         return np.asarray(self.embed_windows_async(windows))
 
-    def embed_audio(self, audio: np.ndarray, hop_size: float = 0.1,
-                    device_framing: bool | None = None) -> np.ndarray:
+    def embed_audio_async(self, audio: np.ndarray, hop_size: float = 0.1,
+                          device_framing: bool | None = None):
+        """embed_audio without the sync: host decode/framing + dispatch
+        happen now, np.asarray(result) materializes. Lets a file-loop
+        caller (data/usc/datasets.py's write-behind) overlap file k's
+        npz compression with file k+1's device compute."""
         use_device = (self.device_framing if device_framing is None
                       else device_framing)
         if use_device and self.mesh is None and len(audio) >= self.sr:
             # Short clips (< one window) take the host path: they need
             # the centered zero-padding and are one window anyway.
-            return self._embed_audio_device_framed(audio, hop_size)
-        return self.embed_windows(frame_uniform(audio, self.sr, hop_size))
+            return self._framer.embed_async(self.variables, audio, hop_size)
+        return self.embed_windows_async(frame_uniform(audio, self.sr,
+                                                      hop_size))
 
-    def _embed_audio_device_framed(self, audio: np.ndarray,
-                                   hop_size: float) -> np.ndarray:
-        return self._framer.embed(self.variables, audio, hop_size)
+    def embed_audio(self, audio: np.ndarray, hop_size: float = 0.1,
+                    device_framing: bool | None = None) -> np.ndarray:
+        return np.asarray(
+            self.embed_audio_async(audio, hop_size=hop_size,
+                                   device_framing=device_framing)
+        )
 
     def embed_file(self, path: str, hop_size: float = 0.1) -> np.ndarray:
         from ..data.audio_io import load_audio

@@ -533,8 +533,10 @@ class QuantizedEmbeddingExtractor:
     def embed_windows(self, windows: np.ndarray) -> np.ndarray:
         return np.asarray(self.embed_windows_async(windows))
 
-    def embed_audio(self, audio: np.ndarray, hop_size: float = 0.1,
-                    device_framing: bool | None = None) -> np.ndarray:
+    def embed_audio_async(self, audio: np.ndarray, hop_size: float = 0.1,
+                          device_framing: bool | None = None):
+        """See EmbeddingExtractor.embed_audio_async (write-behind file
+        loops); np.asarray(result) materializes."""
         from .extract import frame_uniform
 
         use_device = (self.device_framing if device_framing is None
@@ -542,21 +544,26 @@ class QuantizedEmbeddingExtractor:
         if use_device and self.q.mesh is None and len(audio) >= self.sr:
             # Short clips (< one window) take the host path: they need
             # the centered zero-padding and are one window anyway.
-            return self._embed_audio_device_framed(audio, hop_size)
-        return self.embed_windows(frame_uniform(audio, self.sr, hop_size))
+            if self.q._act_scales is None:
+                raise RuntimeError(
+                    "calibrate_files(paths) must run before embed_audio — "
+                    "static int8 scales come from calibration"
+                )
+            # Shared framing-as-gather path (extract._DeviceFramer):
+            # int8's compute win composes with the ~10x transfer saving,
+            # and the zero-masked bucket padding is exact under symmetric
+            # quantization (zero maps to zero).
+            return self._framer.embed_async(self.q._act_scales, audio,
+                                            hop_size)
+        return self.embed_windows_async(frame_uniform(audio, self.sr,
+                                                      hop_size))
 
-    def _embed_audio_device_framed(self, audio: np.ndarray,
-                                   hop_size: float) -> np.ndarray:
-        if self.q._act_scales is None:
-            raise RuntimeError(
-                "calibrate_files(paths) must run before embed_audio — "
-                "static int8 scales come from calibration"
-            )
-        # Shared framing-as-gather path (extract._DeviceFramer): int8's
-        # compute win composes with the ~10x transfer saving, and the
-        # zero-masked bucket padding is exact under symmetric
-        # quantization (zero maps to zero).
-        return self._framer.embed(self.q._act_scales, audio, hop_size)
+    def embed_audio(self, audio: np.ndarray, hop_size: float = 0.1,
+                    device_framing: bool | None = None) -> np.ndarray:
+        return np.asarray(
+            self.embed_audio_async(audio, hop_size=hop_size,
+                                   device_framing=device_framing)
+        )
 
     def embed_file(self, path: str, hop_size: float = 0.1) -> np.ndarray:
         from ..data.audio_io import load_audio

@@ -191,3 +191,55 @@ def test_device_framing_db_batch_global_padding_rows():
     want = ex.embed_audio(audio, hop_size=0.5, device_framing=False)
     assert got.shape == want.shape == (4, 350)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_fold_generation_write_behind_matches_serial(tmp_path):
+    """The datasets' write-behind loop (_PendingWriter + deferred
+    device handles) must produce byte-identical npz contents to the
+    serial per-file path, land every pending file at loop end, and
+    keep the idempotent skip behavior."""
+    from l3embedding_tpu.data.audio_io import write_wav
+    from l3embedding_tpu.data.usc import datasets
+    from l3embedding_tpu.embed import EmbeddingExtractor
+
+    sr = 48000
+    rng = np.random.RandomState(0)
+    audio_dir = tmp_path / "audio" / "fold1"
+    audio_dir.mkdir(parents=True)
+    names = ["bus01", "bus02", "park01", "park02", "tube01"]
+    clips = {}
+    for i, stem in enumerate(names):
+        x = (rng.randn(int((1.2 + 0.4 * i) * sr)) * 0.1).astype(np.float32)
+        clips[stem] = x
+        write_wav(str(audio_dir / f"{stem}.wav"), x, sr)
+
+    ex = EmbeddingExtractor(None, "tiny_L3", "short")
+    out_dir = str(tmp_path / "features")
+    datasets.generate_dcase2013_fold_data(
+        str(tmp_path / "audio"), 0, out_dir, l3embedding_model=ex,
+        features="l3", hop_size=0.5,
+    )
+
+    fold_out = os.path.join(out_dir, "fold1")
+    got_files = sorted(os.listdir(fold_out))
+    assert got_files == [f"{s}.npz" for s in sorted(names)]
+    from l3embedding_tpu.data.audio_io import load_audio
+
+    for stem in names:
+        with np.load(os.path.join(fold_out, f"{stem}.npz")) as z:
+            # Compare against the serial path on the SAME decoded PCM
+            # (the wav round-trip quantizes to int16).
+            decoded = load_audio(str(audio_dir / f"{stem}.wav"), sr)
+            want_X = ex.embed_audio(decoded, hop_size=0.5)
+            np.testing.assert_array_equal(z["X"], want_X)
+            assert int(z["y"]) == datasets.DCASE2013_CLASS_TO_INT[stem[:-2]]
+
+    # Idempotency: a rerun skips every existing file (mtimes unchanged).
+    mtimes = {f: os.path.getmtime(os.path.join(fold_out, f))
+              for f in got_files}
+    datasets.generate_dcase2013_fold_data(
+        str(tmp_path / "audio"), 0, out_dir, l3embedding_model=ex,
+        features="l3", hop_size=0.5,
+    )
+    assert mtimes == {f: os.path.getmtime(os.path.join(fold_out, f))
+                      for f in got_files}
