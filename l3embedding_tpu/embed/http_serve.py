@@ -13,6 +13,12 @@ Endpoints
 GET  /healthz
     → {"status": "ok", "model_type": ..., "pooling": ..., "dim": ...}
 
+GET  /statz
+    → live serving counters: requests/windows/device_batches/errors,
+    queue + in-flight depth, coalesced-batch stats, submit→resolve
+    latency percentiles (p50/p95/p99 ms). SIGTERM drains in-flight
+    requests (bounded) before exiting 0.
+
 POST /v1/embed            (application/json)
     {"audio": [... float PCM in [-1,1] ...], "sr": 48000, "hop": 0.1}
     → {"embeddings": [[...], ...], "num_windows": N, "dim": D}
@@ -197,9 +203,15 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- endpoints ----------------------------------------------------
     def do_GET(self):
+        st = self.state
+        if self.path == "/statz":
+            # Serving observability: request/window/batch counters,
+            # coalesced-batch stats, submit→resolve latency percentiles
+            # (the reference's observability surface is training-side
+            # only — history CSV/gsheets; serving gets its own here).
+            return self._reply_json(200, st.service.stats_snapshot())
         if self.path != "/healthz":
             return self._reply_error(404, f"unknown path {self.path!r}")
-        st = self.state
         self._reply_json(200, {
             "status": "ok",
             "model_type": st.extractor.model_type,
@@ -493,16 +505,32 @@ def main(argv=None):
         "serving %s/%s embeddings on http://%s:%d",
         args.model_type, args.pooling, args.host, args.port,
     )
+    # Graceful drain on SIGTERM (orchestrators send it before SIGKILL,
+    # mirroring the training loop's preemption handling): stop accepting,
+    # let in-flight requests finish through the pipelined service, exit 0.
+    import signal
+
+    def _term(signum, frame):
+        LOGGER.info("SIGTERM: draining and shutting down")
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    try:
+        signal.signal(signal.SIGTERM, _term)
+    except ValueError:  # not the main thread (embedded use)
+        pass
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
         server.shutdown()
-        # Stop the micro-batching worker and fail any queued requests
-        # (tests/examples close the service explicitly; the CLI entry
-        # point must too, or queued callers hang on a dead server).
+        # Serve what was already accepted (bounded), then stop the
+        # micro-batching worker; close() fails anything still queued
+        # loudly rather than leaving callers hanging on a dead server.
+        server.l3_service.drain(timeout=10.0)
         server.l3_service.close()
+        LOGGER.info("shutdown complete (%s requests served)",
+                    server.l3_service.stats_snapshot()["requests"])
 
 
 if __name__ == "__main__":

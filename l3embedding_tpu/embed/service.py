@@ -50,6 +50,18 @@ class EmbeddingService:
         self.max_batch_size = max_batch_size
         self.max_latency = max_latency_ms / 1000.0
         self.pipeline_depth = max(1, int(pipeline_depth))
+        # Observability (read by stats_snapshot / http_serve /statz):
+        # counters are written single-writer (submit under the lock,
+        # batch counters in the dispatcher/collector threads only).
+        self._n_requests = 0
+        self._n_windows = 0
+        self._n_batches = 0
+        self._n_errors = 0
+        from collections import deque
+
+        self._recent_batches = deque(maxlen=512)  # coalesced sizes
+        self._recent_latency = deque(maxlen=2048)  # submit→resolve secs
+        self._started = time.time()
         self._q: queue.Queue = queue.Queue()
         # Dispatched-but-uncollected batches; the bounded size is the
         # pipeline's backpressure (a full queue stalls the dispatcher,
@@ -75,10 +87,13 @@ class EmbeddingService:
         if windows.ndim == 1:
             windows = windows[None, :]
         fut: Future = Future()
+        fut._l3_t0 = time.perf_counter()  # for /statz latency percentiles
         with self._submit_lock:
             if self._stop.is_set():
                 fut.set_exception(RuntimeError("EmbeddingService is closed"))
                 return fut
+            self._n_requests += 1
+            self._n_windows += windows.shape[0]
             self._q.put((windows, fut))
         return fut
 
@@ -118,14 +133,34 @@ class EmbeddingService:
                 emb = (embed_async(windows) if embed_async is not None
                        else self.extractor.embed_windows(windows))
             except Exception as e:  # pragma: no cover
+                self._n_errors += 1
                 for _, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)
+                    self._q.task_done()
                 continue
+            self._n_batches += 1
+            self._recent_batches.append(count)
             # Bounded put: with pipeline_depth batches awaiting
             # collection this blocks, stalling coalescing rather than
-            # piling uncollected results onto the device.
-            self._results.put((emb, batch))
+            # piling uncollected results onto the device. Bounded waits
+            # so a wedged collector can't trap the dispatcher past
+            # close() (the batch is failed loudly instead).
+            while True:
+                try:
+                    self._results.put((emb, batch), timeout=0.5)
+                    break
+                except queue.Full:
+                    if self._stop.is_set():
+                        err = RuntimeError(
+                            "EmbeddingService closed with the result "
+                            "collector stalled; request not served"
+                        )
+                        for _, fut in batch:
+                            if not fut.done():
+                                fut.set_exception(err)
+                            self._q.task_done()
+                        break
 
     def _collect_loop(self):
         while True:
@@ -135,14 +170,71 @@ class EmbeddingService:
             emb, batch = item
             try:
                 arr = np.asarray(emb)
+                now = time.perf_counter()
                 start = 0
                 for w, fut in batch:
                     fut.set_result(arr[start : start + w.shape[0]])
+                    t0 = getattr(fut, "_l3_t0", None)
+                    if t0 is not None:
+                        self._recent_latency.append(now - t0)
                     start += w.shape[0]
             except Exception as e:  # pragma: no cover
+                self._n_errors += 1
                 for _, fut in batch:
                     if not fut.done():
                         fut.set_exception(e)
+            finally:
+                for _ in batch:
+                    self._q.task_done()
+
+    def stats_snapshot(self) -> dict:
+        """Point-in-time observability summary (http_serve /statz).
+
+        Latency percentiles are submit→resolve over the last ≤2048
+        requests; coalesced-batch stats over the last ≤512 device
+        batches. Cheap enough to poll: deque copies, no locks on the
+        hot path."""
+        lat = sorted(self._recent_latency)
+        sizes = list(self._recent_batches)
+
+        def pct(p):
+            if not lat:
+                return None
+            return round(lat[min(len(lat) - 1, int(p / 100 * len(lat)))]
+                         * 1e3, 3)
+
+        return {
+            "uptime_sec": round(time.time() - self._started, 1),
+            "requests": self._n_requests,
+            "windows": self._n_windows,
+            "device_batches": self._n_batches,
+            "errors": self._n_errors,
+            "queue_depth": self._q.qsize(),
+            "inflight_batches": self._results.qsize(),
+            "pipeline_depth": self.pipeline_depth,
+            "max_batch_size": self.max_batch_size,
+            "max_latency_ms": self.max_latency * 1e3,
+            "mean_coalesced_batch": (round(float(np.mean(sizes)), 2)
+                                     if sizes else None),
+            "max_coalesced_batch": max(sizes) if sizes else None,
+            "latency_ms_p50": pct(50),
+            "latency_ms_p95": pct(95),
+            "latency_ms_p99": pct(99),
+            "closed": self._stop.is_set(),
+        }
+
+    def drain(self, timeout: float = 10.0) -> bool:
+        """Wait (bounded) until every accepted request has RESOLVED —
+        the graceful half of a SIGTERM shutdown. Exact, not racy: the
+        queue's task_done accounting is only advanced after a request's
+        future is set. Returns False if the timeout expired with work
+        still pending (close() then fails the leftovers loudly)."""
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if self._q.unfinished_tasks == 0:
+                return True
+            time.sleep(0.02)
+        return False
 
     def close(self):
         with self._submit_lock:
@@ -150,7 +242,14 @@ class EmbeddingService:
             # (drained below) or will observe the flag and fail fast.
             self._stop.set()
         self._worker.join(timeout=10)
-        self._results.put(_SENTINEL)
+        try:
+            # Non-blocking: if the bounded queue is full the collector is
+            # wedged — don't let close() block on it (the drain below
+            # fails the stranded batches; the daemon thread dies with the
+            # process).
+            self._results.put_nowait(_SENTINEL)
+        except queue.Full:
+            pass
         self._collector.join(timeout=10)
         # Fail any dispatched-but-uncollected batches (possible only if
         # the collector died or timed out above).

@@ -143,6 +143,30 @@ def test_loopback_staged_device_mode(service):
     assert set(recorder._staged) <= {2, 4, 8, 16}
 
 
+def test_stats_snapshot_and_drain(service):
+    """Observability counters (http_serve /statz backing) and the
+    graceful-drain half of SIGTERM shutdown."""
+    ex = service.extractor
+    rng = np.random.RandomState(6)
+    with EmbeddingService(ex, max_batch_size=8, max_latency_ms=5,
+                          pipeline_depth=2) as svc:
+        futs = [svc.submit(rng.randn(n, 48000).astype(np.float32) * 0.1)
+                for n in (1, 2, 3)]
+        assert svc.drain(timeout=60)
+        for f in futs:
+            f.result(timeout=1)  # drained == already resolved
+        st = svc.stats_snapshot()
+    assert st["requests"] == 3
+    assert st["windows"] == 6
+    assert 1 <= st["device_batches"] <= 3
+    assert st["errors"] == 0
+    assert st["latency_ms_p50"] > 0
+    assert st["latency_ms_p95"] >= st["latency_ms_p50"]
+    assert st["mean_coalesced_batch"] >= 1
+    assert st["queue_depth"] == 0 and st["inflight_batches"] == 0
+    assert not st["closed"]
+
+
 def test_streaming_matches_file_path(service):
     """StreamingEmbedder fed arbitrary-size chunks must reproduce the
     file extraction path row-for-row (embed/stream.py; the reference
@@ -761,6 +785,31 @@ class TestHTTPServing:
         finally:
             conn.close()
 
+    def test_statz_endpoint(self, server):
+        """GET /statz reports the service's live counters + latency
+        percentiles (serving observability; the reference has none)."""
+        import json
+        import urllib.request
+
+        srv, _ = server
+        # Ensure at least one served request before reading stats.
+        payload = np.zeros((2, 48000), np.float32).tobytes()
+        req = urllib.request.Request(
+            self._url(srv, "/v1/embed_windows"), data=payload,
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Num-Windows": "2"},
+        )
+        with urllib.request.urlopen(req) as r:
+            r.read()
+        with urllib.request.urlopen(self._url(srv, "/statz")) as r:
+            st = json.load(r)
+        assert st["requests"] >= 1
+        assert st["windows"] >= 2
+        assert st["device_batches"] >= 1
+        assert st["latency_ms_p50"] > 0
+        assert st["pipeline_depth"] >= 1
+        assert st["closed"] is False
+
     def test_error_paths(self, server):
         import urllib.error
         import urllib.request
@@ -847,3 +896,63 @@ def test_submit_close_race_every_future_resolves():
                 f.result(timeout=10)
             except RuntimeError:
                 pass
+
+
+def test_http_serve_cli_sigterm_graceful_shutdown(tmp_path):
+    """The serving CLI drains and exits 0 on SIGTERM (what an
+    orchestrator sends before SIGKILL), mirroring the training loop's
+    preemption handling."""
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+    import urllib.request
+
+    # Pick a free port.
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "L3_FORCE_PLATFORM": "cpu"}
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "l3embedding_tpu.embed.http_serve",
+         "--model-type", "tiny_L3", "--pooling", "short",
+         "--port", str(port), "--max-latency-ms", "5"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        deadline = time.time() + 300
+        up = False
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                raise AssertionError(
+                    f"server died early:\n{proc.stdout.read()[-2000:]}"
+                )
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=5) as r:
+                    up = r.status == 200
+                    break
+            except Exception:
+                time.sleep(1.0)
+        assert up, "server never came up"
+        # One real request so shutdown stats are non-trivial.
+        w = np.zeros((1, 48000), np.float32)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/embed_windows", data=w.tobytes(),
+            headers={"Content-Type": "application/octet-stream",
+                     "X-Num-Windows": "1"},
+        )
+        with urllib.request.urlopen(req, timeout=120) as r:
+            r.read()
+
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=60)
+        assert proc.returncode == 0, out[-2000:]
+        assert "shutdown complete" in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
