@@ -51,6 +51,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import threading
 import time
 import uuid
@@ -440,7 +441,21 @@ def main(argv=None):
                    help="after --int8-calib calibration, export the "
                         "quantized tower to this .npz so later starts "
                         "can use --int8-artifact")
+    p.add_argument("--compilation-cache",
+                   default=os.path.expanduser("~/.cache/jax_comp"),
+                   help="persistent XLA compilation cache directory so "
+                        "server restarts skip the multi-minute tower "
+                        "compile (empty string disables)")
     args = p.parse_args(argv)
+
+    if args.compilation_cache and not os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR"):
+        # Config update, not env: jax is already imported here, so the
+        # env var alone would be read too late.
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache)
 
     mesh = None
     if args.mesh:

@@ -956,3 +956,60 @@ def test_http_serve_cli_sigterm_graceful_shutdown(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_service_extractor_failure_fails_futures_not_threads():
+    """A raising extractor (device error, bad input) must fail that
+    batch's futures — in the dispatch path AND in the collect path —
+    while later requests keep being served and /statz counts the
+    errors."""
+
+    class FlakyExtractor:
+        """Duck-typed extractor: async handle whose materialization can
+        fail (collect-path error) or whose dispatch fails outright."""
+
+        sr = 48000
+
+        def __init__(self):
+            self.fail_dispatch = False
+            self.fail_collect = False
+
+        def embed_windows_async(self, windows):
+            if self.fail_dispatch:
+                raise RuntimeError("boom at dispatch")
+            n = windows.shape[0]
+            fail = self.fail_collect
+
+            class Handle:
+                shape = (n, 4)
+
+                def __array__(self, dtype=None, copy=None):
+                    if fail:
+                        raise RuntimeError("boom at collect")
+                    return np.ones((n, 4), np.float32)
+
+            return Handle()
+
+    ex = FlakyExtractor()
+    with EmbeddingService(ex, max_batch_size=4, max_latency_ms=2,
+                          pipeline_depth=2) as svc:
+        w = np.zeros((1, 48000), np.float32)
+        # Healthy request round-trips.
+        assert svc.embed(w).shape == (1, 4)
+
+        ex.fail_dispatch = True
+        with pytest.raises(RuntimeError, match="boom at dispatch"):
+            svc.submit(w).result(timeout=30)
+        ex.fail_dispatch = False
+
+        ex.fail_collect = True
+        with pytest.raises(RuntimeError, match="boom at collect"):
+            svc.submit(w).result(timeout=30)
+        ex.fail_collect = False
+
+        # The worker/collector survived both failures.
+        assert svc.embed(w).shape == (1, 4)
+        assert svc.drain(timeout=30)
+        st = svc.stats_snapshot()
+    assert st["errors"] == 2
+    assert st["requests"] == 4
