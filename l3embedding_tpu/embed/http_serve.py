@@ -405,7 +405,10 @@ def main(argv=None):
     p.add_argument("--pipeline-depth", type=int, default=2,
                    help="device batches in flight: >1 overlaps result "
                         "readback with the next batch's compute "
-                        "(1 = synchronous)")
+                        "(1 = synchronous). Default 2 is right for a "
+                        "local PCIe host; over a high-latency device "
+                        "relay depth 1 measures faster (docs/DESIGN.md "
+                        "staged-device ablation)")
     p.add_argument("--mesh", action="store_true",
                    help="shard window batches over all local devices")
     p.add_argument("--int8", action="store_true",
