@@ -251,6 +251,38 @@ def run_load(port, n_clients, n_requests, windows_per_req, window_samples,
     }
 
 
+def _measure_ceiling(recorder, batch, steps=20, warmup=3):
+    """Raw extraction rate of the SAME extractor/session the sweep used:
+    pre-staged device-resident input at `batch`, jitted fn called
+    directly (no service), scalar-fetch sync (tunnel-safe), dispatch
+    amortized over `steps` calls. This is the denominator for the
+    service-stack ratio — measuring it here removes the run-to-run
+    spread of comparing against a ceiling from another session
+    (ADVICE r4 #1)."""
+    ex = recorder._extractor
+    if recorder._staged is None:  # --ceiling without --staged-device
+        recorder._staged = {}
+    dev = recorder._staged_input(batch)
+    if hasattr(ex, "q"):
+        import jax
+
+        scales = jax.device_put(ex.q._act_scales)
+        fn = lambda x: ex.q._embed_fn(scales, x)  # noqa: E731
+    else:
+        fn = lambda x: ex._fn(ex.variables, x)  # noqa: E731
+    out = None
+    for _ in range(warmup):
+        out = fn(dev)
+    float(np.asarray(out.ravel()[0], np.float32))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fn(dev)
+    float(np.asarray(out.ravel()[0], np.float32))
+    dt = (time.perf_counter() - t0) / steps
+    return {"batch": batch, "ms": round(dt * 1e3, 2),
+            "clips_per_sec": round(batch / dt, 2)}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model-type", default="cnn_L3_melspec2")
@@ -280,6 +312,15 @@ def main():
     p.add_argument("--max-batch-size", type=int, default=128)
     p.add_argument("--max-latency-ms", type=float, default=5.0)
     p.add_argument("--port", type=int, default=0)
+    p.add_argument("--json", dest="json_out", default=None,
+                   help="write the sweep (mode + all rows + optional "
+                        "same-session extraction ceiling) as one JSON "
+                        "artifact, e.g. SERVING_r05.json")
+    p.add_argument("--ceiling", action="store_true",
+                   help="also measure the raw extraction ceiling on the "
+                        "SAME extractor/session (pre-staged device input "
+                        "at max-batch-size, scalar-fetch sync), so the "
+                        "service/ceiling ratio is internally consistent")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -370,12 +411,32 @@ def main():
             return run_load(port, n, n_requests,
                             args.windows_per_request, extractor.sr, rng)
 
+        rows = []
         for n in sorted({int(x) for x in args.clients.split(",")}):
             measure(n, 3)
         for n in (int(x) for x in args.clients.split(",")):
             res = measure(n, args.requests)
             res.update(mode)
+            rows.append(res)
             print(json.dumps(res), flush=True)
+
+        artifact = dict(mode)
+        artifact["rows"] = rows
+        if args.ceiling:
+            ceiling = _measure_ceiling(recorder, args.max_batch_size)
+            ceiling.update(
+                ratio_best=round(
+                    max(r["aggregate_clips_per_sec"] for r in rows)
+                    / ceiling["clips_per_sec"], 4,
+                )
+            )
+            artifact["extraction_ceiling"] = ceiling
+            print(json.dumps({"probe": "extraction_ceiling", **ceiling}),
+                  flush=True)
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                json.dump(artifact, f, indent=1)
+            print(f"wrote {args.json_out}", file=sys.stderr)
     finally:
         if server is not None:
             server.shutdown()
