@@ -143,6 +143,34 @@ def test_loopback_staged_device_mode(service):
     assert set(recorder._staged) <= {2, 4, 8, 16}
 
 
+def test_bench_serving_ceiling_and_artifact(service, tmp_path):
+    """bench_serving --ceiling measures the raw extraction rate on the
+    same extractor the sweep used (the internally-consistent denominator
+    ADVICE r4 #1 asked for), in both staged and unstaged recorder modes;
+    the --json artifact shape is what SERVING_r*.json commits."""
+    import json
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "tools")
+    )
+    from bench_serving import _BatchRecorder, _measure_ceiling
+
+    for staged in (False, True):
+        recorder = _BatchRecorder(service.extractor, staged=staged)
+        res = _measure_ceiling(recorder, batch=4, steps=2, warmup=1)
+        assert res["batch"] == 4
+        assert res["clips_per_sec"] > 0
+        assert res["ms"] > 0
+        assert 4 in recorder._staged  # staged buffer created either way
+
+    artifact = {"dtype": "f32", "rows": [res],
+                "extraction_ceiling": res}
+    out = tmp_path / "serving.json"
+    out.write_text(json.dumps(artifact))
+    assert json.loads(out.read_text())["extraction_ceiling"]["batch"] == 4
+
+
 def test_stats_snapshot_and_drain(service):
     """Observability counters (http_serve /statz backing) and the
     graceful-drain half of SIGTERM shutdown."""
