@@ -194,6 +194,45 @@ def melspectrogram_bf16(x: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.nda
     return m
 
 
+@functools.lru_cache(maxsize=None)
+def _hann_f32(n: int) -> np.ndarray:
+    return dsp_ref.periodic_hann(n).astype(np.float32)
+
+
+def melspectrogram_fft(x: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.ndarray:
+    """(B, n) → (B, n_mels, n_frames, 1) mel features, FFT DFT stage.
+
+    Identical pipeline to melspectrogram_bf16 except the windowed DFT is
+    one f32 `jnp.fft.rfft` over explicit n_dft-sample frames instead of
+    two bf16 [B*T, k*hop] x [k*hop, n_freq] matmuls. rfft's
+    e^{-2*pi*i*t*k/n} convention matches dsp_ref.stft_basis (cos / -sin)
+    exactly, and the full-length periodic Hann window is multiplied into
+    the frames, so |X| is the same transform — computed in f32, so
+    closer to the HIGHEST-precision reference than the bf16 matmuls.
+    Measured on v5e via tools/fft_frontend_probe.py; see docs/DESIGN.md
+    for whether this or the matmul formulation is the shipping default.
+    """
+    ext = frame_signal_chunked(x, cfg.n_dft, cfg.hop, cfg.padding)
+    frames = ext[..., : cfg.n_dft].astype(jnp.float32)
+    win = jnp.asarray(_hann_f32(cfg.n_dft))
+    fx = jnp.fft.rfft(frames * win, axis=-1)
+    p = jnp.real(fx) ** 2 + jnp.imag(fx) ** 2
+    mel_t = jnp.asarray(
+        _mel_matrix_f32(cfg.sr, cfg.n_dft, cfg.n_mels, cfg.fmin, cfg.fmax, cfg.htk)
+    )
+    m = jnp.matmul(
+        p.astype(jnp.bfloat16),
+        mel_t.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    if cfg.power_melgram != 2.0:
+        m = jnp.sqrt(jnp.maximum(m, 0.0)) ** cfg.power_melgram
+    m = jnp.transpose(m, (0, 2, 1))[..., None]
+    if cfg.decibel:
+        m = amplitude_to_db(m, per_sample=cfg.db_per_sample)
+    return m
+
+
 def spectrogram_bf16(
     x: jnp.ndarray, cfg: SpectrogramConfig = SpectrogramConfig()
 ) -> jnp.ndarray:

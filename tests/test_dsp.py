@@ -145,6 +145,27 @@ class TestJnpFrontend:
             # dB scale: compare with absolute tolerance.
             np.testing.assert_allclose(got, want, atol=2e-3)
 
+    def test_mel_spectrogram_fft_variant_parity(self, frontend):
+        # The FFT-staged variant (kept as a measured-rejection artifact:
+        # 3.6x slower than the matmul formulation on v5e at batch 512,
+        # tools/fft_frontend_probe.py / docs/DESIGN.md) must stay
+        # numerically interchangeable with the shipping front-ends.
+        x = RNG.randn(2, 48000).astype(np.float32) * 0.5
+        cfg = frontend.MelConfig(n_mels=256)
+        got = np.asarray(frontend.melspectrogram_fft(x, cfg))
+        assert got.shape == (2, 256, 199, 1)
+        want = np.stack(
+            [dsp_ref.melspectrogram(xi, n_mels=256) for xi in x]
+        )[..., None]
+        # bf16 mel-stage matmul dominates the error budget (same stage
+        # and dtype as melspectrogram_bf16); dB scale -> absolute tol.
+        diff = np.abs(got - want)
+        assert np.median(diff) < 0.05
+        bf16 = np.asarray(frontend.melspectrogram_bf16(x, cfg))
+        a, b = got.ravel().astype(np.float64), bf16.ravel().astype(np.float64)
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.99999
+
     def test_l3_log_norm(self, frontend):
         x = np.abs(RNG.randn(3, 5)).astype(np.float32)
         np.testing.assert_allclose(
