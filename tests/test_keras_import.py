@@ -259,3 +259,17 @@ def test_export_kapre_kernels_are_the_true_basis(tmp_path):
         np.testing.assert_allclose(
             np.asarray(g["melspectrogram_1/freq2mel:0"]), mel, atol=1e-6
         )
+
+
+def test_export_rejects_tiny(tmp_path):
+    """tiny_L3 has no 2018 Keras checkpoint layout; the exporter must say
+    so instead of writing a structurally wrong file."""
+    from l3embedding_tpu.compat.keras_export import export_avc_weights
+
+    with pytest.raises(ValueError, match="tiny_L3"):
+        export_avc_weights(
+            {"params": {"audio_model": {"Conv_0": {}}},
+             "batch_stats": {"audio_model": {}}},
+            "tiny_L3",
+            str(tmp_path / "x.h5"),
+        )
