@@ -70,8 +70,12 @@ def _tower_layer_arrays(tower_params, tower_stats, has_input_bn):
 
 
 def _frontend_layer(audio_module):
-    """(layer_name, [arrays], [suffixes]) for the kapre DSP layer, or
-    None for the raw-log front-end (a weightless Keras Lambda)."""
+    """(layer_name, [arrays], [suffixes]) for the audio tower's kapre DSP
+    layer. All four full variants have one (Spectrogram or
+    Melspectrogram, reference audio_model.py:36-43/257-259 — the 'orig'
+    log-normalization is a Lambda *after* the Spectrogram layer, not a
+    replacement for it); the vision tower has none, which is why
+    tower_weight_list's `frontend` defaults to None there."""
     kind = getattr(audio_module, "frontend_kind", "linear")
     if kind == "mel":
         n_dft = dsp_ref.L3_N_DFT_MEL

@@ -164,20 +164,12 @@ def _stft_basis_padded(n_dft: int, n_win: int | None, width: int, bf16: bool):
     return w_re, w_im
 
 
-def melspectrogram_bf16(x: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.ndarray:
-    """(B, n) → (B, n_mels, n_frames, 1) mel features, bf16 MXU path.
-
-    The training-time front-end: chunked framing (no gather), bf16
-    operands with f32 accumulation on both matmuls — numerics match the
-    fused Pallas kernel (pallas_frontend.melspectrogram_fused), layout
-    and API match melspectrogram.
-    """
-    ext = frame_signal_chunked(x, cfg.n_dft, cfg.hop, cfg.padding)
-    ext = ext.astype(jnp.bfloat16)
-    w_re, w_im = _stft_basis_padded(cfg.n_dft, None, ext.shape[-1], bf16=True)
-    re = jnp.matmul(ext, jnp.asarray(w_re), preferred_element_type=jnp.float32)
-    im = jnp.matmul(ext, jnp.asarray(w_im), preferred_element_type=jnp.float32)
-    p = re * re + im * im
+def _mel_tail_bf16(p: jnp.ndarray, cfg: MelConfig) -> jnp.ndarray:
+    """Shared post-DFT tail of the fast mel front-ends: (B, T, n_freq)
+    power frames → (B, n_mels, T, 1) features. Mel matmul in bf16 with
+    f32 accumulation, then power/transpose/dB — keeping this in one
+    place is what makes the DFT-stage variants (matmul vs FFT)
+    numerically interchangeable."""
     mel_t = jnp.asarray(
         _mel_matrix_f32(cfg.sr, cfg.n_dft, cfg.n_mels, cfg.fmin, cfg.fmax, cfg.htk)
     )
@@ -192,6 +184,22 @@ def melspectrogram_bf16(x: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.nda
     if cfg.decibel:
         m = amplitude_to_db(m, per_sample=cfg.db_per_sample)
     return m
+
+
+def melspectrogram_bf16(x: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.ndarray:
+    """(B, n) → (B, n_mels, n_frames, 1) mel features, bf16 MXU path.
+
+    The training-time front-end: chunked framing (no gather), bf16
+    operands with f32 accumulation on both matmuls — numerics match the
+    fused Pallas kernel (pallas_frontend.melspectrogram_fused), layout
+    and API match melspectrogram.
+    """
+    ext = frame_signal_chunked(x, cfg.n_dft, cfg.hop, cfg.padding)
+    ext = ext.astype(jnp.bfloat16)
+    w_re, w_im = _stft_basis_padded(cfg.n_dft, None, ext.shape[-1], bf16=True)
+    re = jnp.matmul(ext, jnp.asarray(w_re), preferred_element_type=jnp.float32)
+    im = jnp.matmul(ext, jnp.asarray(w_im), preferred_element_type=jnp.float32)
+    return _mel_tail_bf16(re * re + im * im, cfg)
 
 
 @functools.lru_cache(maxsize=None)
@@ -216,21 +224,7 @@ def melspectrogram_fft(x: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.ndar
     frames = ext[..., : cfg.n_dft].astype(jnp.float32)
     win = jnp.asarray(_hann_f32(cfg.n_dft))
     fx = jnp.fft.rfft(frames * win, axis=-1)
-    p = jnp.real(fx) ** 2 + jnp.imag(fx) ** 2
-    mel_t = jnp.asarray(
-        _mel_matrix_f32(cfg.sr, cfg.n_dft, cfg.n_mels, cfg.fmin, cfg.fmax, cfg.htk)
-    )
-    m = jnp.matmul(
-        p.astype(jnp.bfloat16),
-        mel_t.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )
-    if cfg.power_melgram != 2.0:
-        m = jnp.sqrt(jnp.maximum(m, 0.0)) ** cfg.power_melgram
-    m = jnp.transpose(m, (0, 2, 1))[..., None]
-    if cfg.decibel:
-        m = amplitude_to_db(m, per_sample=cfg.db_per_sample)
-    return m
+    return _mel_tail_bf16(jnp.real(fx) ** 2 + jnp.imag(fx) ** 2, cfg)
 
 
 def spectrogram_bf16(

@@ -162,7 +162,13 @@ def test_bench_serving_ceiling_and_artifact(service, tmp_path):
         assert res["batch"] == 4
         assert res["clips_per_sec"] > 0
         assert res["ms"] > 0
-        assert 4 in recorder._staged  # staged buffer created either way
+        # The ceiling leg must not flip the recorder's mode: a
+        # non-staged recorder would otherwise silently serve placeholder
+        # staged buffers to every later _embed_async call.
+        if staged:
+            assert 4 in recorder._staged
+        else:
+            assert recorder._staged is None
 
     artifact = {"dtype": "f32", "rows": [res],
                 "extraction_ceiling": res}

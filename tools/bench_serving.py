@@ -260,9 +260,16 @@ def _measure_ceiling(recorder, batch, steps=20, warmup=3):
     spread of comparing against a ceiling from another session
     (ADVICE r4 #1)."""
     ex = recorder._extractor
+    # Borrow the staged-input helper without flipping a non-staged
+    # recorder into staged mode for good (that would silently reroute
+    # any later _embed_async through the placeholder path).
+    saved = recorder._staged
     if recorder._staged is None:  # --ceiling without --staged-device
         recorder._staged = {}
-    dev = recorder._staged_input(batch)
+    try:
+        dev = recorder._staged_input(batch)
+    finally:
+        recorder._staged = saved
     if hasattr(ex, "q"):
         import jax
 

@@ -29,23 +29,13 @@ import argparse
 import json
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def timeit(fn, *args, steps=20, warmup=3):
-    out = None
-    for _ in range(warmup):
-        out = fn(*args)
-    float(np.asarray(out.reshape(-1)[0], np.float32))
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        out = fn(*args)
-    float(np.asarray(out.reshape(-1)[0], np.float32))
-    return (time.perf_counter() - t0) / steps
+from bench_int8_extract import timeit  # noqa: E402  (shared sync discipline)
 
 
 def cosine(a, b):
