@@ -128,3 +128,25 @@ def test_bench_input_pipeline_full_loop(tmp_path):
     # that scheduling noise swamps the ratio (observed 0.97-1.55); the
     # meaningful measurement is the on-chip one in docs/DESIGN.md.
     assert out["loop_over_step_ratio"] > 0
+
+
+def test_int8_task_delta_tool_f32_leg(tmp_path):
+    """tools/int8_task_delta.py plumbing (corpus build → 05-path
+    extraction → 06 SVM → JSON report), f32 tower only: the int8 leg is
+    minutes-slow on XLA:CPU and its accuracy story is measured on-chip
+    (INT8_TASK_DELTA_r05.json)."""
+    import json
+
+    res = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "tools", "int8_task_delta.py"),
+            "--towers", "f32", "--files-per-class", "1", "--hop-size", "0.25",
+            "--workdir", str(tmp_path / "wd"),
+        ],
+        capture_output=True, text=True, env=ENV, cwd=REPO, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    report = json.loads(res.stdout.strip().splitlines()[-1])
+    assert report["probe"] == "int8_task_delta"
+    assert report["platform"] == "cpu"
+    assert 0.0 <= report["test_accuracy"]["f32"] <= 1.0
