@@ -205,6 +205,13 @@ class _Handler(BaseHTTPRequestHandler):
     # -- endpoints ----------------------------------------------------
     def do_GET(self):
         st = self.state
+        # Honor _read_body's invariant on GETs too: a client that sends
+        # a body with its GET on a keep-alive connection would otherwise
+        # leave unread bytes to be parsed as the next request line.
+        try:
+            self._read_body(required=False)
+        except ValueError as e:
+            return self._reply_error(400, str(e))
         if self.path == "/statz":
             # Serving observability: request/window/batch counters,
             # coalesced-batch stats, submit→resolve latency percentiles
@@ -342,14 +349,7 @@ class _Handler(BaseHTTPRequestHandler):
         emb = np.asarray(
             st.service.submit(windows).result(), np.float32
         )
-        blob = emb.astype("<f4").tobytes()
-        self.send_response(200)
-        self.send_header("Content-Type", "application/octet-stream")
-        self.send_header("Content-Length", str(len(blob)))
-        self.send_header("X-Num-Windows", str(emb.shape[0]))
-        self.send_header("X-Embedding-Dim", str(emb.shape[1]))
-        self.end_headers()
-        self.wfile.write(blob)
+        self._reply_rows(emb)
 
 
 def make_server(
@@ -460,6 +460,11 @@ def main(argv=None):
         jax.config.update("jax_compilation_cache_dir",
                           args.compilation_cache)
 
+    # Logging must exist BEFORE extractor construction: the int8 paths
+    # log the calibration file set and the measured accuracy-gate cosine
+    # (the observability the gate is built around) during construction.
+    logging.basicConfig(level=logging.INFO)
+
     mesh = None
     if args.mesh:
         from ..parallel import create_mesh
@@ -518,7 +523,6 @@ def main(argv=None):
         max_latency_ms=args.max_latency_ms,
         pipeline_depth=args.pipeline_depth,
     )
-    logging.basicConfig(level=logging.INFO)
     LOGGER.info(
         "serving %s/%s embeddings on http://%s:%d",
         args.model_type, args.pooling, args.host, args.port,

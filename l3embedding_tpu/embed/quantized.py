@@ -263,6 +263,8 @@ class QuantizedAudioEmbedder:
                     f32_frontend=False, collect_amax=True)
         )
         self._embed_fn = jax.jit(self._quantized_forward)
+        self._ref_fn = None  # jitted f32 reference, built on first gate
+        self._pct_fns = {}  # percentile -> jitted calibration fn
 
     @classmethod
     def _from_quantized(cls, fold, pool, wq, wscale, biases, act_scales,
@@ -292,6 +294,8 @@ class QuantizedAudioEmbedder:
             self._act_scales = replicate(self._act_scales, mesh)
         self._calib_fn = None
         self._embed_fn = jax.jit(self._quantized_forward)
+        self._ref_fn = None
+        self._pct_fns = {}
         return self
 
     def _require_reference_tower(self, what: str):
@@ -320,10 +324,13 @@ class QuantizedAudioEmbedder:
         self._require_reference_tower("calibrate()")
         amax, pct = None, None
         if method == "percentile":
-            pct_fn = jax.jit(
-                partial(folded_forward, self.fold, pool=self.pool,
-                        f32_frontend=False, collect_pct=float(percentile))
-            )
+            pct_fn = self._pct_fns.get(float(percentile))
+            if pct_fn is None:
+                pct_fn = self._pct_fns[float(percentile)] = jax.jit(
+                    partial(folded_forward, self.fold, pool=self.pool,
+                            f32_frontend=False,
+                            collect_pct=float(percentile))
+                )
         for i in range(0, len(windows), batch_size):
             chunk = np.asarray(windows[i:i + batch_size], np.float32)
             if method == "percentile":
@@ -408,11 +415,15 @@ class QuantizedAudioEmbedder:
         self._require_reference_tower("embedding_cosine()")
         x = np.asarray(windows, np.float32)
         got = self.embed_windows(x)
-        ref_fn = jax.jit(
-            partial(folded_forward, self.fold, pool=self.pool,
-                    f32_frontend=True)
-        )
-        want = np.asarray(ref_fn(x))
+        # Cached like _calib_fn: re-jitting per call forced a full
+        # recompile of the HIGHEST-precision reference tower every time
+        # the gate ran (recalibration sweeps, repeated gating).
+        if self._ref_fn is None:
+            self._ref_fn = jax.jit(
+                partial(folded_forward, self.fold, pool=self.pool,
+                        f32_frontend=True)
+            )
+        want = np.asarray(self._ref_fn(x))
         num = (got * want).sum(axis=1)
         den = np.linalg.norm(got, axis=1) * np.linalg.norm(want, axis=1)
         cos = num / np.maximum(den, 1e-12)
@@ -452,11 +463,18 @@ class QuantizedEmbeddingExtractor:
             db_batch_global=db_batch_global, variables=variables,
             mesh=mesh,
         )
-        self.sr = sr
+        self._bind_common(sr, model_type, pooling_type, device_framing)
+
+    def _bind_common(self, sr, model_type, pooling_type, device_framing,
+                     calib_cosine=None):
+        """Shared tail of __init__ and load_artifact (which builds via
+        object.__new__): one place to grow instance attributes so
+        artifact-loaded extractors can never miss one."""
+        self.sr = int(sr)
         # Interface parity with EmbeddingExtractor (http_serve /healthz).
         self.model_type = model_type
         self.pooling_type = pooling_type
-        self.calib_cosine = None  # (min, mean) set by calibrate_files
+        self.calib_cosine = calib_cosine  # (min, mean) from calibration
         self.device_framing = bool(device_framing)
         from .extract import _DeviceFramer
 
@@ -689,18 +707,12 @@ class QuantizedEmbeddingExtractor:
         self.q = QuantizedAudioEmbedder._from_quantized(
             fold, pool, wq, wscale, biases, act_scales, mesh=mesh
         )
-        self.sr = int(meta["sr"])
-        self.model_type = meta["model_type"]
-        self.pooling_type = meta["pooling_type"]
-        self.calib_cosine = (
-            None if cmin is None
-            else (float(cmin), float(meta["calib_cosine_mean"]))
-        )
-        self.device_framing = bool(device_framing)
-        from .extract import _DeviceFramer
-
-        self._framer = _DeviceFramer(
-            self.sr,
-            lambda scales, w: self.q._quantized_forward(scales, w),
+        self._bind_common(
+            meta["sr"], meta["model_type"], meta["pooling_type"],
+            device_framing,
+            calib_cosine=(
+                None if cmin is None
+                else (float(cmin), float(meta["calib_cosine_mean"]))
+            ),
         )
         return self

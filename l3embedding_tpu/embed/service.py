@@ -121,8 +121,13 @@ class EmbeddingService:
                 batch.append(item)
                 count += item[0].shape[0]
 
-            windows = np.concatenate([w for w, _ in batch])
             try:
+                # Inside the try: clients submitting mismatched window
+                # widths into one coalescing interval make this raise —
+                # that must fail THIS batch's futures, not kill the
+                # dispatcher thread (which would strand every future
+                # ever submitted afterwards).
+                windows = np.concatenate([w for w, _ in batch])
                 # Async dispatch: the returned handle is a lazy device
                 # array (np.asarray materializes it). Stand-in extractors
                 # without the async method run synchronously here — the
@@ -173,10 +178,17 @@ class EmbeddingService:
                 now = time.perf_counter()
                 start = 0
                 for w, fut in batch:
-                    fut.set_result(arr[start : start + w.shape[0]])
-                    t0 = getattr(fut, "_l3_t0", None)
-                    if t0 is not None:
-                        self._recent_latency.append(now - t0)
+                    # done() guard: a caller may have cancel()ed its
+                    # future while the batch was in flight; set_result
+                    # on it raises InvalidStateError, which would trip
+                    # the batch-wide except and poison every LATER
+                    # request coalesced into this batch. Mirror the
+                    # dispatcher's error-path guard.
+                    if not fut.done():
+                        fut.set_result(arr[start : start + w.shape[0]])
+                        t0 = getattr(fut, "_l3_t0", None)
+                        if t0 is not None:
+                            self._recent_latency.append(now - t0)
                     start += w.shape[0]
             except Exception as e:  # pragma: no cover
                 self._n_errors += 1

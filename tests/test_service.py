@@ -748,6 +748,28 @@ class TestHTTPServing:
             t.join()
         assert not errors, errors[:5]
 
+    def test_get_with_body_drains_on_keepalive(self, server):
+        """A GET carrying a body on a keep-alive connection must not
+        leave unread bytes to be parsed as the next request line
+        (_read_body's invariant now holds for GETs too)."""
+        import http.client
+
+        srv, ex = server
+        host, port = srv.server_address[0], srv.server_address[1]
+        conn = http.client.HTTPConnection(host, port, timeout=120)
+        try:
+            conn.request("GET", "/healthz", body=b"{\"stray\": 1}")
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+            # The next request on the SAME connection must parse cleanly.
+            conn.request("GET", "/statz")
+            resp = conn.getresponse()
+            assert resp.status == 200
+            resp.read()
+        finally:
+            conn.close()
+
     def test_http11_keepalive_connection_reuse(self, server):
         """The server speaks HTTP/1.1 with Content-Length on every
         reply, so one TCP connection serves many requests (closed-loop
@@ -1047,3 +1069,43 @@ def test_service_extractor_failure_fails_futures_not_threads():
         st = svc.stats_snapshot()
     assert st["errors"] == 2
     assert st["requests"] == 4
+
+
+def test_mixed_width_submits_fail_batch_not_thread(service):
+    """Mismatched window widths coalesced into one batch must fail THOSE
+    futures (np.concatenate raises) and leave the dispatcher alive for
+    every later request — previously the ValueError killed the
+    dispatcher thread and all subsequent submits hung forever."""
+    sr = service.extractor.sr
+    futs = [
+        service.submit(np.zeros((1, sr), np.float32)),
+        service.submit(np.zeros((1, sr // 2), np.float32)),
+    ]
+    # At least the mismatched one fails; depending on coalescing both may.
+    outcomes = []
+    for f in futs:
+        try:
+            outcomes.append(("ok", f.result(timeout=30).shape))
+        except ValueError as e:
+            outcomes.append(("err", str(e)[:40]))
+    assert any(kind == "err" for kind, _ in outcomes), outcomes
+    # The service must still work after the failed batch.
+    emb = service.embed(np.zeros((2, sr), np.float32))
+    assert emb.shape[0] == 2
+
+
+def test_cancelled_future_does_not_poison_batch(service):
+    """A caller cancelling its future mid-flight must not make the
+    collector's set_result raise into the batch-wide error path and
+    fail the OTHER requests coalesced with it."""
+    sr = service.extractor.sr
+    n_ok = 0
+    for _ in range(5):  # several rounds to land a cancel in a shared batch
+        futs = [service.submit(np.zeros((1, sr), np.float32))
+                for _ in range(6)]
+        futs[0].cancel()
+        for f in futs[1:]:
+            out = f.result(timeout=30)  # raises if poisoned
+            assert out.shape[0] == 1
+            n_ok += 1
+    assert n_ok == 25
