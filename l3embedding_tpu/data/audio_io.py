@@ -81,8 +81,14 @@ def read_via_ffmpeg(path: str, target_sr: int | None = None) -> tuple[np.ndarray
     return data, sr
 
 
-def read_audio(path: str, dtype: str = "int16") -> tuple[np.ndarray, int]:
-    """Read audio → (samples (n, ch) int16, sr). Format by extension."""
+def read_audio(path: str, dtype: str = "int16",
+               target_sr: int | None = None) -> tuple[np.ndarray, int]:
+    """Read audio → (samples (n, ch) int16, sr). Format by extension.
+
+    target_sr only steers the ffmpeg fallback (which must pick SOME
+    output rate anyway): decoding straight to the target avoids a
+    48k-intermediate double resample. WAV/npy/npz return their native
+    rate regardless — callers resample."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".wav":
         data, sr = read_wav(path)
@@ -96,7 +102,7 @@ def read_audio(path: str, dtype: str = "int16") -> tuple[np.ndarray, int]:
             data = data.reshape(-1, 1)
         sr = int(obj["sr"])
     else:
-        data, sr = read_via_ffmpeg(path)
+        data, sr = read_via_ffmpeg(path, target_sr=target_sr)
     if dtype == "float32":
         data = data.astype(np.float32) / 32768.0
     return data, sr
@@ -119,7 +125,7 @@ def resample(audio: np.ndarray, sr: int, target_sr: int) -> np.ndarray:
 
 def load_audio(path: str, target_sr: int) -> np.ndarray:
     """Load → mono float32 at target_sr (reference features.py:18-28)."""
-    data, sr = read_audio(path)
+    data, sr = read_audio(path, target_sr=target_sr)
     mono = data.astype(np.float64).mean(axis=-1) / 32768.0
     out = resample(mono, sr, target_sr)
     return out.astype(np.float32)

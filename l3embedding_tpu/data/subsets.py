@@ -136,8 +136,12 @@ def get_file_list(
         audio_files = glob.glob(f"{data_dir}/audio/*")
         video_files = glob.glob(f"{data_dir}/video/*")
     else:
-        audio_files = glob.glob(f"{data_dir}/**/audio/*")
-        video_files = glob.glob(f"{data_dir}/**/video/*")
+        # recursive=True: the reference's bare '**' (subsets.py:77-78)
+        # silently degenerates to one directory level in Python's glob;
+        # recursive matching is a strict superset (zero or more levels),
+        # so shallow corpora match identically and deeper ones now work.
+        audio_files = glob.glob(f"{data_dir}/**/audio/*", recursive=True)
+        video_files = glob.glob(f"{data_dir}/**/video/*", recursive=True)
 
     audio_paths = {get_filename(p): p for p in audio_files}
     video_paths = {get_filename(p): p for p in video_files}

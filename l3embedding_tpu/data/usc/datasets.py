@@ -26,9 +26,13 @@ from .features import compute_file_features
 
 LOGGER = logging.getLogger("l3embedding_tpu.cls-data")
 
-NUM_FOLDS_US8K = 10
-NUM_FOLDS_ESC50 = 5
-NUM_FOLDS_DCASE2013 = 2
+# Single source of truth for fold counts lives in .folds (get_split
+# derives DATASET_NUM_FOLDS from the same values).
+from .folds import (  # noqa: E402
+    NUM_FOLDS_DCASE2013,
+    NUM_FOLDS_ESC50,
+    NUM_FOLDS_US8K,
+)
 
 DCASE2013_CLASS_TO_INT = {
     "bus": 0, "busystreet": 1, "office": 2, "openairmarket": 3, "park": 4,

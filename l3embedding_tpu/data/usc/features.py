@@ -136,9 +136,18 @@ def preprocess_split_data(
 
 
 def preprocess_features(data, min_max_scaler, stdizer, feature_mode="framewise"):
-    """Apply previously-fitted scalers + feature mode to new data
-    (reference features.py:150-163)."""
-    data["features"] = min_max_scaler.fit_transform(data["features"])
+    """Apply previously-fitted scalers + feature mode to new data.
+
+    Fixed vs the reference (features.py:152-163), which called
+    min_max_scaler.fit_transform here — REFITTING the "previously-
+    fitted" scaler on the new data's own min/max (and silently applying
+    min-max even when training skipped it), then standardizing inputs
+    whose distribution no longer matches what stdizer was fitted on.
+    (Dead code there; a real API here, so it does what it says.)"""
+    # preprocess_split_data returns an UNFITTED MinMaxScaler when
+    # use_min_max=False — only apply a scaler that was actually fitted.
+    if min_max_scaler is not None and hasattr(min_max_scaler, "data_min_"):
+        data["features"] = min_max_scaler.transform(data["features"])
     if feature_mode == "framewise":
         expand_framewise_labels(data)
     elif feature_mode == "stats":

@@ -29,11 +29,15 @@ def load_feature_file(path):
     return X, y
 
 
-def get_fold(feature_dir, fold_idx, augment=False):
+def get_fold(feature_dir, fold_idx, augment=False, dataset_name=None):
     """Load all .npz files of fold `fold_idx` (0-based)
     (reference folds.py:24-61). US8K augmented variants (filenames with
     extra '_' suffixes) are skipped unless augment=True
-    (reference folds.py:35-36)."""
+    (reference folds.py:35-36). The reference keys that skip on the
+    substring 'us8k' appearing in the PATH; `dataset_name` (forwarded by
+    get_split) makes it robust to feature directories that don't carry
+    the dataset name — the path heuristic is kept as a fallback for
+    direct get_fold callers."""
     X, y, file_idxs = [], [], []
     fold_dir = os.path.join(feature_dir, f"fold{fold_idx + 1}")
     filenames = sorted(os.listdir(fold_dir))
@@ -44,7 +48,9 @@ def get_fold(feature_dir, fold_idx, augment=False):
         # US8K augmented-variant skip: base stems are
         # '<fsID>-<classID>-<occurrence>-<slice>'; augmented variants
         # append '_<aug>' (reference folds.py:35-36).
-        if "us8k" in fold_dir and "_" in fname and not augment:
+        is_us8k = (dataset_name == "us8k" if dataset_name is not None
+                   else "us8k" in fold_dir)
+        if is_us8k and "_" in fname and not augment:
             continue
         file_X, file_y = load_feature_file(os.path.join(fold_dir, fname))
         end = start + (file_X.shape[0] if file_X.ndim > 1 else 1)
@@ -71,7 +77,8 @@ def get_valid_fold_idx(test_fold_idx, num_folds):
     return (test_fold_idx - 1) % num_folds
 
 
-def get_train_folds(feature_dir, test_fold_idx, num_folds, valid=True):
+def get_train_folds(feature_dir, test_fold_idx, num_folds, valid=True,
+                    dataset_name=None):
     """All folds except test (and valid), concatenated with global
     file_idxs (reference folds.py:82-112)."""
     X, y, file_idxs, filenames = [], [], [], []
@@ -79,7 +86,8 @@ def get_train_folds(feature_dir, test_fold_idx, num_folds, valid=True):
     for fold_idx in range(num_folds):
         if fold_idx == test_fold_idx or (valid and fold_idx == valid_fold_idx):
             continue
-        fold = get_fold(feature_dir, fold_idx, augment=True)
+        fold = get_fold(feature_dir, fold_idx, augment=True,
+                        dataset_name=dataset_name)
         idxs = fold["file_idxs"]
         if file_idxs:
             idxs = idxs + file_idxs[-1][-1, -1]
@@ -100,11 +108,13 @@ def get_split(feature_dir, test_fold_idx, dataset_name, valid=True):
     if dataset_name not in DATASET_NUM_FOLDS:
         raise ValueError(f"Invalid dataset: {dataset_name}")
     num_folds = DATASET_NUM_FOLDS[dataset_name]
-    train_data = get_train_folds(feature_dir, test_fold_idx, num_folds, valid=valid)
+    train_data = get_train_folds(feature_dir, test_fold_idx, num_folds,
+                                 valid=valid, dataset_name=dataset_name)
     valid_data = (
-        get_fold(feature_dir, get_valid_fold_idx(test_fold_idx, num_folds))
+        get_fold(feature_dir, get_valid_fold_idx(test_fold_idx, num_folds),
+                 dataset_name=dataset_name)
         if valid
         else None
     )
-    test_data = get_fold(feature_dir, test_fold_idx)
+    test_data = get_fold(feature_dir, test_fold_idx, dataset_name=dataset_name)
     return train_data, valid_data, test_data

@@ -191,7 +191,50 @@ def get_restart_info(history_path):
     with open(history_path) as f:
         for row in csv.DictReader(f):
             last = row
+    if last is None:
+        # Header-only or empty CSV (a kill/disk-full before the first
+        # epoch's row landed): nothing to restore — resume degrades to a
+        # fresh start instead of crashing, like every other corrupt-
+        # artifact case in this loop.
+        return None
     return int(last["epoch"]), float(last["val_acc"]), float(last["val_loss"])
+
+
+def _resolve_run_dir(output_dir, model_id):
+    """Collision-safe timestamped run dir, agreed across processes.
+
+    Single process: the reference sleeps a random 0-10 s so parallel
+    SLURM tasks don't collide on the same timestamp (reference
+    classifier/train.py:523-524); we append the pid instead of sleeping.
+    Multi-host: every process must agree on ONE run dir (second-boundary
+    clock skew, or the collision fallback firing on some hosts, would
+    otherwise scatter artifacts across dirs and make the resume hint on
+    non-chief processes point at the wrong path) — the chief resolves
+    the name and broadcasts it.
+    """
+    base = os.path.join(
+        output_dir,
+        "embedding",
+        model_id,
+        datetime.datetime.now().strftime("%Y%m%d%H%M%S"),
+    )
+    model_dir = base
+    if jax.process_index() == 0:
+        try:
+            os.makedirs(model_dir)
+        except FileExistsError:
+            model_dir = f"{base}-{os.getpid()}"
+            os.makedirs(model_dir, exist_ok=True)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        buf = np.zeros(4096, np.uint8)
+        enc = model_dir.encode()
+        buf[: len(enc)] = np.frombuffer(enc, np.uint8)
+        buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+        model_dir = bytes(buf[buf != 0]).decode()
+        os.makedirs(model_dir, exist_ok=True)
+    return model_dir
 
 
 def _append_history_row(path, row):
@@ -348,22 +391,7 @@ def _train_impl(
         model_dir = continue_model_dir
         os.makedirs(model_dir, exist_ok=True)
     else:
-        # Collision-safe run dir: the reference sleeps a random 0-10 s so
-        # parallel SLURM tasks don't collide on the same timestamp
-        # (reference classifier/train.py:523-524); we append the pid
-        # instead of sleeping.
-        base = os.path.join(
-            output_dir,
-            "embedding",
-            model_id,
-            datetime.datetime.now().strftime("%Y%m%d%H%M%S"),
-        )
-        model_dir = base
-        try:
-            os.makedirs(model_dir)
-        except FileExistsError:
-            model_dir = f"{base}-{os.getpid()}"
-            os.makedirs(model_dir, exist_ok=True)
+        model_dir = _resolve_run_dir(output_dir, model_id)
     param_dict["model_dir"] = model_dir
 
     # Multi-host: one writer. Non-chief processes compute everything
@@ -413,12 +441,17 @@ def _train_impl(
     if continue_model_dir is not None:
         hist_path = os.path.join(continue_model_dir, "history_csvlog.csv")
         if os.path.exists(hist_path):
-            last_epoch_idx, last_val_acc, last_val_loss = get_restart_info(
-                hist_path
-            )
-            initial_epoch = last_epoch_idx + 1
-            best_val_acc = last_val_acc
-            best_val_loss = last_val_loss
+            restart = get_restart_info(hist_path)
+            if restart is None:
+                LOGGER.warning(
+                    "history CSV %s has no data rows; resuming from "
+                    "epoch 0", hist_path,
+                )
+            else:
+                last_epoch_idx, last_val_acc, last_val_loss = restart
+                initial_epoch = last_epoch_idx + 1
+                best_val_acc = last_val_acc
+                best_val_loss = last_val_loss
         preempt_path = os.path.join(continue_model_dir, PREEMPT_FILE)
         if os.path.exists(preempt_path):
             # Mid-epoch preemption snapshot: re-enter the interrupted
@@ -533,7 +566,10 @@ def _train_impl(
     )
     eval_step = make_eval_step(model)
 
-    if gsheet_id:
+    if gsheet_id and is_chief:
+        # Chief-only like every other artifact write: experiments.jsonl
+        # and its .state.json sidecar are read-modify-write on a shared
+        # filesystem — N processes appending would interleave/corrupt.
         tracker = JSONLTracker(os.path.join(model_dir, "experiments.jsonl"))
         tracker.upsert(dict(param_dict))
     else:

@@ -300,3 +300,81 @@ def test_preemption_sync_rank_agreement(tmp_path):
             if line.startswith(f"proc {pid}: break_at="):
                 indices.append(int(line.split("=")[1]))
     assert indices == [13, 13]
+
+
+_RUNDIR_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    sys.path.insert(0, {repo_root!r})
+
+    from l3embedding_tpu.parallel.distributed import initialize_distributed
+
+    assert initialize_distributed(
+        coordinator_address={coord!r}, num_processes=2, process_id={pid},
+    )
+
+    # Skew this process's clock: without the chief broadcast, the two
+    # processes would resolve different timestamped run dirs.
+    import datetime as _dt
+    from l3embedding_tpu.training import loop as L
+
+    class _FakeDateTime:
+        @staticmethod
+        def now():
+            return _dt.datetime(2026, 1, 1, 0, 0, {pid})
+
+    L.datetime = type("_M", (), {{"datetime": _FakeDateTime}})
+    d = L._resolve_run_dir({outdir!r}, "tiny_L3")
+    assert os.path.isdir(d), d
+    print("proc {pid}: rundir=" + d)
+    """
+)
+
+
+def test_two_process_run_dir_agreement(tmp_path):
+    """Fresh multi-host runs must agree on ONE timestamped run dir even
+    with per-process clock skew (the chief resolves, then broadcasts) —
+    otherwise non-chief artifacts and resume hints land in a stray dir."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+              "JAX_PROCESS_ID"):
+        env.pop(k, None)
+
+    procs = []
+    for pid in range(2):
+        code = _RUNDIR_WORKER.format(
+            repo_root=repo_root, coord=coord, pid=pid,
+            outdir=str(tmp_path / "out"),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, "-c", code],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=280) for p in procs]
+    dirs = []
+    for pid, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, (
+            f"proc {pid} rc={p.returncode}\nstdout:{out}\nstderr:{err[-2000:]}"
+        )
+        line = [ln for ln in out.splitlines() if "rundir=" in ln]
+        assert line, out
+        dirs.append(line[0].split("rundir=")[1])
+    # Both processes resolved the CHIEF's dir (second 0, not second 1).
+    assert dirs[0] == dirs[1]
+    assert dirs[0].endswith("20260101000000")

@@ -243,3 +243,74 @@ def test_fold_generation_write_behind_matches_serial(tmp_path):
     )
     assert mtimes == {f: os.path.getmtime(os.path.join(fold_out, f))
                       for f in got_files}
+
+
+def test_preprocess_features_applies_without_refitting(tmp_path):
+    """preprocess_features must APPLY previously-fitted scalers. The
+    reference's version (features.py:152-163, dead code there) called
+    min_max_scaler.fit_transform — refitting on the new data and
+    silently applying min-max even when training skipped it."""
+    from sklearn.preprocessing import MinMaxScaler, StandardScaler
+
+    from l3embedding_tpu.data.usc.features import preprocess_features
+
+    rng = np.random.RandomState(0)
+    train = rng.randn(50, 4) * 3.0 + 1.0
+    mm = MinMaxScaler().fit(train)
+    sd = StandardScaler().fit(mm.transform(train))
+
+    new = rng.randn(8, 4) * 10.0 - 5.0  # different range than train
+    data = {"features": new.copy(), "labels": np.zeros(8, int),
+            "file_idxs": np.array([[0, 8]])}
+    preprocess_features(data, mm, sd, feature_mode="framewise")
+    want = sd.transform(mm.transform(new))
+    np.testing.assert_allclose(data["features"], want, rtol=1e-12)
+    # Scaler params unchanged (no refit on the new data).
+    np.testing.assert_array_equal(mm.data_min_, train.min(axis=0))
+
+    # An UNFITTED min-max scaler (training ran use_min_max=False) is
+    # skipped, not silently fitted.
+    data2 = {"features": new.copy(), "labels": np.zeros(8, int),
+             "file_idxs": np.array([[0, 8]])}
+    preprocess_features(data2, MinMaxScaler(), sd, feature_mode="framewise")
+    np.testing.assert_allclose(data2["features"], sd.transform(new))
+
+
+def test_augment_skip_keyed_on_dataset_name(tmp_path):
+    """get_split(dataset_name='us8k') must skip augmented variants
+    ('_'-suffixed files) in valid/test folds even when the feature
+    directory path does not contain 'us8k' (the reference keyed the
+    skip on the path substring only, reference folds.py:35-36)."""
+    from l3embedding_tpu.data.usc.folds import get_fold, get_split
+
+    feat_dir = tmp_path / "urbansound_features"  # no 'us8k' in the path
+    for fold in range(1, 11):
+        d = feat_dir / f"fold{fold}"
+        d.mkdir(parents=True)
+        np.savez(d / "100032-3-0-0.npz", X=np.full((2, 5), fold, float),
+                 y=3)
+        np.savez(d / "100032-3-0-0_aug1.npz",
+                 X=np.full((3, 5), -fold, float), y=3)
+
+    train, valid, test = get_split(str(feat_dir), 0, "us8k")
+    # Test fold: augmented variant skipped -> 2 rows from one file.
+    assert test["features"].shape == (2, 5)
+    assert valid["features"].shape == (2, 5)
+    # Train folds keep augmented variants (augment=True): 8 folds x 5.
+    assert train["features"].shape == (8 * 5, 5)
+    # Direct get_fold without dataset_name falls back to the reference's
+    # path heuristic (keeps everything here since the path lacks 'us8k').
+    raw = get_fold(str(feat_dir), 0)
+    assert raw["features"].shape == (5, 5)
+
+
+def test_get_restart_info_header_only_csv(tmp_path):
+    """A kill/disk-full before the first history row leaves a header-only
+    CSV; resume must degrade to fresh-start instead of crashing."""
+    from l3embedding_tpu.training.loop import HISTORY_CSV_FIELDS, get_restart_info
+
+    p = tmp_path / "history_csvlog.csv"
+    p.write_text(",".join(HISTORY_CSV_FIELDS) + "\n")
+    assert get_restart_info(str(p)) is None
+    p.write_text("")  # fully empty file
+    assert get_restart_info(str(p)) is None

@@ -112,3 +112,24 @@ def test_subset_split_ratios(tmp_path):
     # disjoint
     ids = [x["ytid"] for x in train + valid + test]
     assert len(set(ids)) == 20
+
+
+def test_get_file_list_finds_deeply_nested_corpora(tmp_path):
+    """recursive glob: corpora nested more than one level under data_dir
+    (e.g. data_dir/train/eval_segments/{audio,video}) must be found —
+    the reference's bare '**' (subsets.py:77-78) silently degenerated to
+    a single level in Python's glob."""
+    from l3embedding_tpu.data.subsets import get_file_list
+
+    deep = tmp_path / "train" / "eval_segments"
+    shallow = tmp_path / "other"
+    for base in (deep, shallow):
+        (base / "audio").mkdir(parents=True)
+        (base / "video").mkdir(parents=True)
+    (deep / "audio" / "vidA_0_10.flac").write_bytes(b"x")
+    (deep / "video" / "vidA_0_10.mp4").write_bytes(b"x")
+    (shallow / "audio" / "vidB_0_10.flac").write_bytes(b"x")
+    (shallow / "video" / "vidB_0_10.mp4").write_bytes(b"x")
+
+    files = get_file_list(str(tmp_path))
+    assert sorted(f["ytid"] for f in files) == ["vidA", "vidB"], files
