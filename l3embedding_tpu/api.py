@@ -456,10 +456,10 @@ def process_video_file(
         entry = {"audio": None, "image": out_image}
 
         if overwrite or not os.path.exists(out_image):
-            frames = np.asarray(read_video(path))
+            frames = read_video(path)  # may be an mmap for .npy
             fps = _video_fps(path, source_fps)
             step = max(1, int(round(fps / frame_rate)))
-            sampled = frames[::step]
+            sampled = np.asarray(frames[::step])  # page in only these
             emb, ts = get_image_embedding(
                 sampled, frame_rate=fps / step, model=image_model
             )
