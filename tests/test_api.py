@@ -239,3 +239,28 @@ def test_cli_main_video(tmp_path, video_npz, tiny_model, image_model,
     assert rc == 0
     assert (tmp_path / "clip_audio.npz").exists()
     assert (tmp_path / "clip_image.npz").exists()
+
+
+def test_frame_openl3_matches_bruteforce_oracle():
+    """Property-pin the strided framing against an index-arithmetic-free
+    oracle across awkward lengths (shorter than a window, exact multiple,
+    one-sample spillover)."""
+    sr, hop = 1000, 0.1  # window 1000, hop 100 — scaled-down geometry
+    rng = np.random.RandomState(13)
+    for n in [1, 999, 1000, 1001, 1050, 1100, 1101, 2000, 2049, 5000]:
+        audio = rng.uniform(-1, 1, n).astype(np.float32)
+        for center in (True, False):
+            got = api._frame_openl3(audio, sr, hop, center)
+            padded = np.concatenate([np.zeros(sr // 2, np.float32), audio]) \
+                if center else audio
+            expect = []
+            start = 0
+            while True:
+                win = padded[start : start + sr]
+                expect.append(np.pad(win, (0, sr - len(win))))
+                if start + sr >= len(padded):
+                    break
+                start += int(hop * sr)
+            expect = np.stack(expect)
+            assert got.shape == expect.shape, (n, center)
+            np.testing.assert_array_equal(got, expect, err_msg=f"{n},{center}")
