@@ -137,10 +137,23 @@ def _conv(x, w, preferred):
     )
 
 
-def _frontend_features(fold: _FoldedTower, audio, f32: bool):
-    """(B, 48000) -> (B, freq, T, 1) f32 features incl. folded input BN."""
+def _frontend_features(fold: _FoldedTower, audio, f32: bool,
+                       dft_int8: bool = False):
+    """(B, 48000) -> (B, freq, T, 1) f32 features incl. folded input BN.
+
+    dft_int8=True runs the DFT stage s8xs8->s32 on the MXU's
+    double-rate path (frontend.melspectrogram_int8dft; mel front-ends
+    only) — the serving-side option measured by tools/int8_dft_probe.py.
+    """
     cfg = fold.frontend_cfg()
-    if fold.frontend_kind == "mel":
+    if dft_int8:
+        if fold.frontend_kind != "mel":
+            raise ValueError(
+                "dft_int8 front-end exists for mel front-ends only "
+                f"(got {fold.frontend_kind!r})"
+            )
+        y = frontend.melspectrogram_int8dft(audio, cfg)
+    elif fold.frontend_kind == "mel":
         y = (frontend.melspectrogram(audio, cfg,
                                      precision=jax.lax.Precision.HIGHEST)
              if f32 else frontend.melspectrogram_bf16(audio, cfg))
@@ -215,10 +228,18 @@ class QuantizedAudioEmbedder:
         db_batch_global: bool = False,
         variables=None,
         mesh=None,
+        dft_int8: bool = False,
     ):
         """mesh: a jax.sharding.Mesh for multi-chip int8 serving — window
         batches shard over its 'data' axis with the quantized weights
-        replicated, same as EmbeddingExtractor's mesh path."""
+        replicated, same as EmbeddingExtractor's mesh path.
+
+        dft_int8: run the front-end's DFT matmuls s8xs8->s32 too
+        (mel front-ends only; measured accept/reject in
+        tools/int8_dft_probe.py / docs/DESIGN.md). Calibration and the
+        f32 reference are unaffected — the gate (embedding_cosine)
+        therefore prices this flag's accuracy cost automatically."""
+        self.dft_int8 = bool(dft_int8)
         spec = build_model(model_type)
         self.pool = spec.audio_embedding_pooling[pooling_type]
         if variables is None:
@@ -268,7 +289,7 @@ class QuantizedAudioEmbedder:
 
     @classmethod
     def _from_quantized(cls, fold, pool, wq, wscale, biases, act_scales,
-                        mesh=None):
+                        mesh=None, dft_int8: bool = False):
         """Rebuild an embedder from already-quantized arrays (the int8
         artifact load path — no f32 checkpoint, no calibration).
 
@@ -280,6 +301,7 @@ class QuantizedAudioEmbedder:
         self = object.__new__(cls)
         self.fold = fold
         self.pool = pool
+        self.dft_int8 = bool(dft_int8)
         self._wq = [jnp.asarray(w, jnp.int8) for w in wq]
         self._wscale = [jnp.asarray(s, jnp.float32) for s in wscale]
         self._biases = [jnp.asarray(b, jnp.float32) for b in biases]
@@ -357,7 +379,8 @@ class QuantizedAudioEmbedder:
     def _quantized_forward(self, act_scales, audio):
         if audio.ndim == 3:
             audio = audio[:, 0, :]
-        y = _frontend_features(self.fold, audio, f32=False)
+        y = _frontend_features(self.fold, audio, f32=False,
+                               dft_int8=self.dft_int8)
 
         def quant(y, s):
             return jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)

@@ -203,6 +203,69 @@ def melspectrogram_bf16(x: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.nda
 
 
 @functools.lru_cache(maxsize=None)
+def _stft_basis_int8(n_dft: int, n_win: int | None, width: int):
+    """Per-column symmetric int8 DFT bases + f32 column scales.
+
+    Column f of the (windowed) cos/sin bank is quantized with its own
+    scale c[f] = amax(|col|)/127, so the int8 matmul's column f
+    dequantizes exactly like the f32 basis scaled by c[f]. Rows beyond
+    n_dft (the chunk-framing tail) are zero in both."""
+    real, imag = dsp_ref.stft_basis(n_dft, n_win)
+
+    def quant(m):
+        w = np.zeros((width, m.shape[1]), np.float32)
+        w[:n_dft] = m
+        c = (np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0).astype(
+            np.float32
+        )
+        return np.clip(np.round(w / c), -127, 127).astype(np.int8), c
+
+    (q_re, c_re), (q_im, c_im) = quant(real), quant(imag)
+    return q_re, c_re, q_im, c_im
+
+
+def melspectrogram_int8dft(
+    x: jnp.ndarray, cfg: MelConfig = MelConfig()
+) -> jnp.ndarray:
+    """(B, n) → (B, n_mels, n_frames, 1) mel features, int8 DFT stage.
+
+    Identical pipeline to melspectrogram_bf16 except the two DFT
+    matmuls run s8×s8→s32 on the MXU's double-rate int8 path: frames
+    are per-row symmetric-quantized (row scale s = amax(|frame|)/127 —
+    raw PCM rows, the Hann window lives in the basis), the windowed
+    cos/sin banks per-column (see _stft_basis_int8), and the exact
+    dequant s·c folds into the power stage (|s·c·z|² = s²·((c·z)²)).
+    The mel matmul + dB tail stay bf16/f32 (_mel_tail_bf16) — they are
+    the narrow, accuracy-critical part.
+
+    Motivation: the int8 extraction tower's step is Amdahl-limited by
+    the bf16 DFT matmul (10.0 ms of 55.4 ms at batch 512, measured in
+    tools/int8_frontend_split.py; docs/DESIGN.md round-5 profile).
+    Whether this variant's ~8-bit front-end noise passes the 0.999
+    embedding-cosine gate, and whether the lowering realizes the 2×
+    rate at this shape, is measured by tools/int8_dft_probe.py — see
+    docs/DESIGN.md for the accept/reject verdict.
+    """
+    ext = frame_signal_chunked(x, cfg.n_dft, cfg.hop, cfg.padding)
+    s = jnp.maximum(
+        jnp.max(jnp.abs(ext), axis=-1, keepdims=True), 1e-6
+    ) / 127.0
+    q = jnp.clip(jnp.round(ext / s), -127, 127).astype(jnp.int8)
+    q_re, c_re, q_im, c_im = _stft_basis_int8(
+        cfg.n_dft, None, ext.shape[-1]
+    )
+    z_re = jnp.matmul(
+        q, jnp.asarray(q_re), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    z_im = jnp.matmul(
+        q, jnp.asarray(q_im), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    re = z_re * (s * jnp.asarray(c_re))
+    im = z_im * (s * jnp.asarray(c_im))
+    return _mel_tail_bf16(re * re + im * im, cfg)
+
+
+@functools.lru_cache(maxsize=None)
 def _hann_f32(n: int) -> np.ndarray:
     return dsp_ref.periodic_hann(n).astype(np.float32)
 

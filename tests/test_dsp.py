@@ -166,6 +166,28 @@ class TestJnpFrontend:
         cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         assert cos > 0.99999
 
+    def test_mel_spectrogram_int8dft_variant_parity(self, frontend):
+        # The s8xs8->s32 DFT-stage variant (tools/int8_dft_probe.py;
+        # serving-side option for the int8 extraction tower,
+        # docs/DESIGN.md round-5) must stay numerically close to the
+        # shipping front-ends: per-frame row scales + per-column basis
+        # scales keep the quantization noise ~8 bits below signal, so
+        # the dB features agree to ~0.02 dB at the median (the tail
+        # sits in near-clamp quiet bins).
+        x = RNG.randn(2, 48000).astype(np.float32) * 0.5
+        cfg = frontend.MelConfig(n_mels=256)
+        got = np.asarray(frontend.melspectrogram_int8dft(x, cfg))
+        assert got.shape == (2, 256, 199, 1)
+        want = np.stack(
+            [dsp_ref.melspectrogram(xi, n_mels=256) for xi in x]
+        )[..., None]
+        diff = np.abs(got - want)
+        assert np.median(diff) < 0.05
+        bf16 = np.asarray(frontend.melspectrogram_bf16(x, cfg))
+        a, b = got.ravel().astype(np.float64), bf16.ravel().astype(np.float64)
+        cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert cos > 0.9999
+
     def test_l3_log_norm(self, frontend):
         x = np.abs(RNG.randn(3, 5)).astype(np.float32)
         np.testing.assert_allclose(

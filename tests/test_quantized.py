@@ -83,6 +83,30 @@ def test_quantized_cosine(variables):
     assert mean > 0.99, (mn, mean)
 
 
+def test_quantized_cosine_int8_dft_frontend(variables):
+    """dft_int8=True (s8xs8->s32 DFT stage, frontend.melspectrogram_
+    int8dft) must stay within the same cosine envelope as the bf16
+    front-end — the front-end quantization noise is ~8 bits below
+    signal (tests/test_dsp.py pins the feature-level error), so the
+    embedding gate is dominated by the tower's own int8 noise.
+    On-chip timing accept/reject: tools/int8_dft_probe.py."""
+    q = QuantizedAudioEmbedder(None, MODEL, "short", variables=variables,
+                               dft_int8=True)
+    q.calibrate(_audio(4, seed=2))
+    mn, mean = q.embedding_cosine(_audio(3, seed=3))
+    assert mn > 0.98, (mn, mean)
+    assert mean > 0.99, (mn, mean)
+
+
+def test_int8_dft_frontend_rejects_linear():
+    variables = _variables("cnn_L3_orig")
+    with pytest.raises(ValueError, match="mel front-ends"):
+        q = QuantizedAudioEmbedder(None, "cnn_L3_orig",
+                                   variables=variables, dft_int8=True)
+        q.calibrate(_audio(2, seed=2))
+        q.embed_windows(_audio(1, seed=3))
+
+
 def test_embed_requires_calibration(variables):
     q = QuantizedAudioEmbedder(None, MODEL, "short", variables=variables)
     with pytest.raises(RuntimeError, match="calibrate"):
