@@ -164,12 +164,30 @@ def get_audio_embedding(
     when omitted one is built from the other keyword args. Timestamps
     are window starts — with ``center=True`` (default) they are the
     *centers* of the windows in the original signal, matching openl3.
+
+    A list/tuple of audio arrays returns ``(embeddings, timestamps)``
+    lists (one model built and shared across all inputs — openl3's
+    list semantics). ``sr`` may then be one rate or a matching list.
     """
     if model is None:
         model = load_audio_embedding_model(
             weights_path, input_repr, embedding_size,
             model_type=model_type, fast=fast,
         )
+    if isinstance(audio, (list, tuple)):
+        srs = sr if isinstance(sr, (list, tuple)) else [sr] * len(audio)
+        if len(srs) != len(audio):
+            raise ValueError(
+                f"{len(audio)} audio arrays but {len(srs)} sample rates"
+            )
+        pairs = [
+            get_audio_embedding(
+                a, s, model=model, hop_size=hop_size, center=center,
+                reference_framing=reference_framing,
+            )
+            for a, s in zip(audio, srs)
+        ]
+        return [e for e, _ in pairs], [t for _, t in pairs]
     audio = _to_mono_float(audio)
     target_sr = getattr(model, "sr", TARGET_SR)
     if sr != target_sr:
@@ -322,9 +340,26 @@ def get_image_embedding(
     (uint8 only; pre-scaled float input must already be 224x224). With
     ``frame_rate`` (video frames), returns ``(embedding, timestamps)``
     where ``timestamps[k] = k / frame_rate`` — openl3's video semantics.
+
+    A list/tuple of image arrays returns per-input results (one shared
+    model — openl3's list semantics): a list of embeddings, or
+    ``(embeddings, timestamps)`` lists when ``frame_rate`` is given
+    (scalar or per-input list).
     """
     if model is None:
         model = ImageEmbeddingModel(weights_path, input_repr, model_type)
+    if isinstance(images, (list, tuple)):
+        frs = (frame_rate if isinstance(frame_rate, (list, tuple))
+               else [frame_rate] * len(images))
+        if len(frs) != len(images):
+            raise ValueError(
+                f"{len(images)} image arrays but {len(frs)} frame rates"
+            )
+        outs = [get_image_embedding(im, fr, model=model)
+                for im, fr in zip(images, frs)]
+        if frame_rate is None:
+            return outs
+        return [e for e, _ in outs], [t for _, t in outs]
     images = np.asarray(images)
     if images.dtype == np.uint8:
         images = preprocess_frames(images)

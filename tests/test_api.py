@@ -66,6 +66,36 @@ def test_resampling_path(tiny_model):
     assert emb.shape[0] == 11  # same windows as the 48 kHz 1.5 s clip
 
 
+def test_get_audio_embedding_list_semantics(tiny_model):
+    """openl3 accepts a list of audio arrays sharing one model; the
+    result is (embeddings, timestamps) lists, per-input identical to
+    the scalar calls."""
+    rng = np.random.RandomState(4)
+    a1 = rng.uniform(-0.5, 0.5, 72000).astype(np.float32)
+    a2 = rng.uniform(-0.5, 0.5, 24000).astype(np.float32)  # 16 kHz, 1.5 s
+    embs, tss = api.get_audio_embedding([a1, a2], [48000, 16000],
+                                        model=tiny_model)
+    assert isinstance(embs, list) and len(embs) == len(tss) == 2
+    want1, _ = api.get_audio_embedding(a1, 48000, model=tiny_model)
+    want2, _ = api.get_audio_embedding(a2, 16000, model=tiny_model)
+    np.testing.assert_allclose(embs[0], want1, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(embs[1], want2, rtol=1e-6, atol=1e-6)
+    with pytest.raises(ValueError, match="sample rates"):
+        api.get_audio_embedding([a1, a2], [48000], model=tiny_model)
+
+
+def test_get_image_embedding_list_semantics(image_model):
+    rng = np.random.RandomState(6)
+    ims = [rng.randint(0, 256, (2, 224, 224, 3), dtype=np.uint8),
+           rng.randint(0, 256, (3, 224, 224, 3), dtype=np.uint8)]
+    outs = api.get_image_embedding(ims, model=image_model)
+    assert isinstance(outs, list) and [o.shape[0] for o in outs] == [2, 3]
+    embs, tss = api.get_image_embedding(ims, frame_rate=2.0,
+                                        model=image_model)
+    assert len(embs) == len(tss) == 2
+    np.testing.assert_allclose(tss[1], np.arange(3) / 2.0)
+
+
 def test_embedding_size_validation():
     with pytest.raises(ValueError, match="embedding_size"):
         api.load_audio_embedding_model(model_type="tiny_L3",
