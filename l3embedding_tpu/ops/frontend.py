@@ -204,24 +204,28 @@ def melspectrogram_bf16(x: jnp.ndarray, cfg: MelConfig = MelConfig()) -> jnp.nda
 
 @functools.lru_cache(maxsize=None)
 def _stft_basis_int8(n_dft: int, n_win: int | None, width: int):
-    """Per-column symmetric int8 DFT bases + f32 column scales.
+    """Fused per-column symmetric int8 DFT bank + f32 column scales.
 
-    Column f of the (windowed) cos/sin bank is quantized with its own
+    One (width, 2·n_freq) int8 matrix — re columns then im columns —
+    so a single s8×s8→s32 matmul produces both quadratures (the MXU
+    int8 rate improves sharply with N at these shapes, measured in
+    tools/int8_dft_matmul_probe.py). Column f is quantized with its own
     scale c[f] = amax(|col|)/127, so the int8 matmul's column f
     dequantizes exactly like the f32 basis scaled by c[f]. Rows beyond
-    n_dft (the chunk-framing tail) are zero in both."""
+    n_dft — the chunk-framing tail plus MXU K-alignment padding — are
+    zero in both. `width` must therefore be >= the (padded) frame
+    width; extra rows contribute nothing."""
     real, imag = dsp_ref.stft_basis(n_dft, n_win)
+    bank = np.zeros((width, real.shape[1] + imag.shape[1]), np.float32)
+    bank[:n_dft] = np.concatenate([real, imag], axis=1)
+    c = (np.maximum(np.abs(bank).max(axis=0), 1e-12) / 127.0).astype(
+        np.float32
+    )
+    return np.clip(np.round(bank / c), -127, 127).astype(np.int8), c
 
-    def quant(m):
-        w = np.zeros((width, m.shape[1]), np.float32)
-        w[:n_dft] = m
-        c = (np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0).astype(
-            np.float32
-        )
-        return np.clip(np.round(w / c), -127, 127).astype(np.int8), c
 
-    (q_re, c_re), (q_im, c_im) = quant(real), quant(imag)
-    return q_re, c_re, q_im, c_im
+def _round_up(n: int, mult: int) -> int:
+    return -(-n // mult) * mult
 
 
 def melspectrogram_int8dft(
@@ -229,40 +233,56 @@ def melspectrogram_int8dft(
 ) -> jnp.ndarray:
     """(B, n) → (B, n_mels, n_frames, 1) mel features, int8 DFT stage.
 
-    Identical pipeline to melspectrogram_bf16 except the two DFT
-    matmuls run s8×s8→s32 on the MXU's double-rate int8 path: frames
-    are per-row symmetric-quantized (row scale s = amax(|frame|)/127 —
-    raw PCM rows, the Hann window lives in the basis), the windowed
-    cos/sin banks per-column (see _stft_basis_int8), and the exact
-    dequant s·c folds into the power stage (|s·c·z|² = s²·((c·z)²)).
-    The mel matmul + dB tail stay bf16/f32 (_mel_tail_bf16) — they are
-    the narrow, accuracy-critical part.
+    Identical pipeline to melspectrogram_bf16 except the windowed DFT
+    runs s8×s8→s32 on the MXU's double-rate int8 path, formulated to
+    make the quantization overhead vanish and the GEMM MXU-shaped
+    (each choice measured, tools/int8_dft_matmul_probe.py +
+    docs/DESIGN.md):
+
+      * The WAVEFORM is quantized, not the frames: one per-window
+        symmetric scale s[b] = amax(|x[b]|)/127 over (B, n) — ~9×
+        fewer elements than the chunk-duplicated frame tensor, and
+        rounding before framing keeps every overlapping frame's view
+        of a sample bit-identical (exactly "8-bit PCM in, same
+        pipeline"). Frames are then pure int8 slices/concats.
+      * K is zero-padded to a multiple of 256 (2178 → 2304 for
+        melspec2): the unaligned-K int8 GEMM runs at 286 TOP/s, the
+        padded one at ~680 — alignment more than pays for the 6%
+        extra FLOPs.
+      * re and im banks fuse into ONE (K, 2·n_freq) int8 matmul
+        (the int8 rate improves sharply with N at this M/K).
+
+    The exact dequant s·c folds into the power stage
+    (|s·c·z|² = s²·(c·z)²); the mel matmul + dB tail stay bf16/f32
+    (_mel_tail_bf16) — they are the narrow, accuracy-critical part.
 
     Motivation: the int8 extraction tower's step is Amdahl-limited by
-    the bf16 DFT matmul (10.0 ms of 55.4 ms at batch 512, measured in
-    tools/int8_frontend_split.py; docs/DESIGN.md round-5 profile).
-    Whether this variant's ~8-bit front-end noise passes the 0.999
-    embedding-cosine gate, and whether the lowering realizes the 2×
-    rate at this shape, is measured by tools/int8_dft_probe.py — see
-    docs/DESIGN.md for the accept/reject verdict.
+    the bf16 DSP front-end (10.0 of 55.4 ms at batch 512,
+    tools/int8_frontend_split.py). Accuracy: the front-end's ~8-bit
+    noise lands below the tower's own activation-quantization noise —
+    the 0.999 embedding-cosine gate rides in tools/int8_dft_probe.py
+    and the shipped accept/reject verdict in docs/DESIGN.md.
     """
-    ext = frame_signal_chunked(x, cfg.n_dft, cfg.hop, cfg.padding)
     s = jnp.maximum(
-        jnp.max(jnp.abs(ext), axis=-1, keepdims=True), 1e-6
+        jnp.max(jnp.abs(x), axis=-1, keepdims=True), 1e-6
     ) / 127.0
-    q = jnp.clip(jnp.round(ext / s), -127, 127).astype(jnp.int8)
-    q_re, c_re, q_im, c_im = _stft_basis_int8(
-        cfg.n_dft, None, ext.shape[-1]
-    )
-    z_re = jnp.matmul(
-        q, jnp.asarray(q_re), preferred_element_type=jnp.int32
-    ).astype(jnp.float32)
-    z_im = jnp.matmul(
-        q, jnp.asarray(q_im), preferred_element_type=jnp.int32
-    ).astype(jnp.float32)
-    re = z_re * (s * jnp.asarray(c_re))
-    im = z_im * (s * jnp.asarray(c_im))
-    return _mel_tail_bf16(re * re + im * im, cfg)
+    xq = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    ext = frame_signal_chunked(xq, cfg.n_dft, cfg.hop, cfg.padding)
+    width = _round_up(ext.shape[-1], 256)
+    if width != ext.shape[-1]:
+        ext = jnp.concatenate(
+            [ext, jnp.zeros(ext.shape[:-1] + (width - ext.shape[-1],),
+                            jnp.int8)],
+            axis=-1,
+        )
+    bank, c = _stft_basis_int8(cfg.n_dft, None, width)
+    z = jnp.matmul(
+        ext, jnp.asarray(bank), preferred_element_type=jnp.int32
+    ).astype(jnp.float32) * jnp.asarray(c)
+    n_freq = cfg.n_dft // 2 + 1
+    re, im = z[..., :n_freq], z[..., n_freq:]
+    p = (re * re + im * im) * jnp.square(s)[..., None]
+    return _mel_tail_bf16(p, cfg)
 
 
 @functools.lru_cache(maxsize=None)
