@@ -104,6 +104,12 @@ def parse_arguments():
                         "(quantized weights + frozen scales + measured "
                         "gate) to this .npz for artifact-based serving "
                         "and later --int8-artifact runs")
+    parser.add_argument("--int8-dft-bf16", dest="int8_dft_bf16",
+                        action="store_true",
+                        help="Keep the front-end DFT matmuls in bf16 "
+                        "instead of the default s8xs8->s32 stage "
+                        "(measured 1.06x faster full-step on v5e for "
+                        "mel front-ends; docs/DESIGN.md)")
     parser.add_argument("--fold", dest="fold", type=int,
                         help="Fold number to generate; all folds if unset")
     parser.add_argument("-ump", "--us8k-metadata-path",
@@ -180,6 +186,7 @@ if __name__ == "__main__":
                 db_batch_global=args["db_batch_global"],
                 device_framing=args["device_framing"],
                 mesh=mesh,
+                dft_int8=False if args["int8_dft_bf16"] else None,
             )
             wavs = sorted(
                 _glob.glob(

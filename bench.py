@@ -92,9 +92,10 @@ def bench_train(args, rng):
 
 
 # Measured per-dtype extraction optima (on-chip batch sweeps; see
-# docs/DESIGN.md): int8 peaks at 512 (9,176 clips/s; 256 -> 8,874,
-# 768 -> 9,043, 1024 -> 9,131), bf16 at 256 (5,882; 128 -> 5,287,
-# 512 -> 5,437), f32 at 128 (3,930; 256 -> 2,676).
+# docs/DESIGN.md): int8 peaks at 512 — 9,738 clips/s with the r5
+# int8-DFT front-end (768 -> 9,653, 1024 -> 9,683; the r4 bf16-FE
+# sweep was 9,176 at 512, 256 -> 8,874) — bf16 at 256 (5,882;
+# 128 -> 5,287, 512 -> 5,437), f32 at 128 (3,930; 256 -> 2,676).
 EXTRACT_OPTIMUM_BATCH = {"int8": 512, "bf16": 256, "f32": 128}
 
 
@@ -159,9 +160,10 @@ def bench_extract_int8(args, rng, batch_size=None, variables=None):
     on synthetic audio-scale windows, measures the min cosine vs the
     BN-folded f32 tower on held-out windows (the in-path gate 05 --int8
     enforces), then times the resident quantized forward. Measured
-    on-chip r4: 9,176 clips/s at batch 512, min cosine 0.99975 (passes
-    the 0.999 BASELINE gate). Raises ValueError for model types without
-    a full L3 audio tower (e.g. tiny_L3)."""
+    on-chip r5 (int8-DFT front-end, the mel default): 9,738 clips/s at
+    batch 512, min cosine 0.99966 (passes the 0.999 BASELINE gate; r4
+    bf16-FE was 9,176 / 0.99975). Raises ValueError for model types
+    without a full L3 audio tower (e.g. tiny_L3)."""
     import jax
     import jax.numpy as jnp
 
@@ -358,10 +360,10 @@ def main():
         choices=["int8", "bf16", "f32"],
         default=None,
         help="headline extraction tower; default int8 (measured on-chip "
-        "9,176 clips/s at batch 512 with min cosine 0.99975 vs the "
-        "BN-folded f32 tower — re-measured and gated at 0.999 every "
-        "run, falling back to bf16 on a miss or on model types without "
-        "a full L3 audio tower)",
+        "9,738 clips/s at batch 512 with min cosine 0.99966 vs the "
+        "BN-folded f32 tower, int8-DFT front-end — re-measured and "
+        "gated at 0.999 every run, falling back to bf16 on a miss or "
+        "on model types without a full L3 audio tower)",
     )
     p.add_argument(
         "--int8-calib-windows", type=int, default=48,
@@ -511,8 +513,8 @@ def main():
     }
     if args.mode == "both":
         # Headline extract tower per --extract-dtype (default int8 —
-        # measured on-chip 9,176 clips/s at batch 512 with min cosine
-        # 0.99975, re-gated at 0.999 every run with bf16 fallback; an
+        # measured on-chip 9,738 clips/s at batch 512 with min cosine
+        # 0.99966, re-gated at 0.999 every run with bf16 fallback; an
         # explicit --dtype pins the headline to that float tower
         # instead, per ADVICE r3). The other towers ride as secondary
         # legs so every dtype appears in every artifact, each at its

@@ -444,6 +444,13 @@ def main(argv=None):
                    help="after --int8-calib calibration, export the "
                         "quantized tower to this .npz so later starts "
                         "can use --int8-artifact")
+    p.add_argument("--int8-dft-bf16", action="store_true",
+                   help="keep the front-end DFT matmuls in bf16 instead "
+                        "of the default s8xs8->s32 stage (measured "
+                        "faster on v5e for mel front-ends; "
+                        "docs/DESIGN.md). Artifact loads ignore this: "
+                        "the artifact records the front-end it was "
+                        "gated with")
     p.add_argument("--compilation-cache",
                    default=os.path.expanduser("~/.cache/jax_comp"),
                    help="persistent XLA compilation cache directory so "
@@ -495,7 +502,8 @@ def main(argv=None):
         if not wavs:
             p.error(f"no .wav files under --int8-calib {args.int8_calib}")
         extractor = QuantizedEmbeddingExtractor(
-            args.weights, args.model_type, args.pooling, mesh=mesh
+            args.weights, args.model_type, args.pooling, mesh=mesh,
+            dft_int8=False if args.int8_dft_bf16 else None,
         )
         # Sample evenly across the sorted list (same recipe as the 05
         # CLI): a plain prefix of a class-per-directory tree would

@@ -228,18 +228,20 @@ class QuantizedAudioEmbedder:
         db_batch_global: bool = False,
         variables=None,
         mesh=None,
-        dft_int8: bool = False,
+        dft_int8: bool | None = None,
     ):
         """mesh: a jax.sharding.Mesh for multi-chip int8 serving — window
         batches shard over its 'data' axis with the quantized weights
         replicated, same as EmbeddingExtractor's mesh path.
 
         dft_int8: run the front-end's DFT matmuls s8xs8->s32 too
-        (mel front-ends only; measured accept/reject in
-        tools/int8_dft_probe.py / docs/DESIGN.md). Calibration and the
-        f32 reference are unaffected — the gate (embedding_cosine)
-        therefore prices this flag's accuracy cost automatically."""
-        self.dft_int8 = bool(dft_int8)
+        (mel front-ends only). None (the default) auto-selects: ON for
+        mel front-ends, where the quantize-then-frame formulation is
+        measured faster on v5e (front-end 1.37x, full step 1.06x at
+        batch 512 — tools/int8_dft_probe.py / docs/DESIGN.md), OFF
+        otherwise. Calibration and the f32 reference are unaffected —
+        the gate (embedding_cosine) therefore prices this flag's
+        accuracy cost automatically."""
         spec = build_model(model_type)
         self.pool = spec.audio_embedding_pooling[pooling_type]
         if variables is None:
@@ -253,6 +255,8 @@ class QuantizedAudioEmbedder:
             if weights_path is not None:
                 variables = checkpoints.load_variables(weights_path, variables)
         self.fold = fold_audio_tower(variables, model_type, db_batch_global)
+        self.dft_int8 = (self.fold.frontend_kind == "mel"
+                         if dft_int8 is None else bool(dft_int8))
 
         # Per-output-channel symmetric weight quantization.
         self._wq, self._wscale = [], []
@@ -474,17 +478,22 @@ class QuantizedEmbeddingExtractor:
         variables=None,
         mesh=None,
         device_framing: bool = False,
+        dft_int8: bool | None = None,
     ):
         """device_framing=True uploads a file's PCM once and slices the
         overlapping windows on device before the quantized forward —
         the same ~10x host→device byte saving as
         EmbeddingExtractor(device_framing=True), composed with the int8
         tower (`05 --int8 --device-framing`). Single-chip only (mesh
-        falls back to host framing); rows match the host path."""
+        falls back to host framing); rows match the host path.
+
+        dft_int8: see QuantizedAudioEmbedder — None auto-selects the
+        measured-faster s8xs8 DFT stage for mel front-ends (the 05
+        `--int8-dft-bf16` flag forces it off)."""
         self.q = QuantizedAudioEmbedder(
             weights_path, model_type, pooling_type,
             db_batch_global=db_batch_global, variables=variables,
-            mesh=mesh,
+            mesh=mesh, dft_int8=dft_int8,
         )
         self._bind_common(sr, model_type, pooling_type, device_framing)
 
@@ -660,6 +669,9 @@ class QuantizedEmbeddingExtractor:
             "db_batch_global": bool(q.fold.db_batch_global),
             "calib_cosine_min": cmin,
             "calib_cosine_mean": cmean,
+            # The gate above was measured WITH this front-end setting,
+            # so the loader must reproduce it, not re-decide it.
+            "dft_int8": bool(q.dft_int8),
         }
         arrays["meta_json"] = np.frombuffer(
             json.dumps(meta).encode(), np.uint8
@@ -727,8 +739,11 @@ class QuantizedEmbeddingExtractor:
             db_batch_global=bool(meta["db_batch_global"]),
         )
         self = object.__new__(cls)
+        # Artifacts exported before the dft_int8 meta key default to the
+        # bf16 front-end they were gated with.
         self.q = QuantizedAudioEmbedder._from_quantized(
-            fold, pool, wq, wscale, biases, act_scales, mesh=mesh
+            fold, pool, wq, wscale, biases, act_scales, mesh=mesh,
+            dft_int8=bool(meta.get("dft_int8", False)),
         )
         self._bind_common(
             meta["sr"], meta["model_type"], meta["pooling_type"],

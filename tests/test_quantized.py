@@ -72,8 +72,12 @@ def test_fold_matches_full_tower(variables):
 
 def test_quantized_cosine(variables):
     """Calibrate on one batch, embed a held-out batch: int8 embeddings
-    must track the folded-f32 tower closely even on a random-init net."""
+    must track the folded-f32 tower closely even on a random-init net.
+    Exercises the shipping default — for mel front-ends that now
+    auto-selects the s8xs8->s32 DFT stage (measured 1.06x full-step on
+    v5e; tools/int8_dft_probe.py / docs/DESIGN.md)."""
     q = QuantizedAudioEmbedder(None, MODEL, "short", variables=variables)
+    assert q.dft_int8 is True  # mel -> int8 DFT by default
     q.calibrate(_audio(4, seed=2))
     mn, mean = q.embedding_cosine(_audio(3, seed=3))
     # Bound is deliberately below the measured value (so the test pins
@@ -83,15 +87,15 @@ def test_quantized_cosine(variables):
     assert mean > 0.99, (mn, mean)
 
 
-def test_quantized_cosine_int8_dft_frontend(variables):
-    """dft_int8=True (s8xs8->s32 DFT stage, frontend.melspectrogram_
-    int8dft) must stay within the same cosine envelope as the bf16
-    front-end — the front-end quantization noise is ~8 bits below
-    signal (tests/test_dsp.py pins the feature-level error), so the
-    embedding gate is dominated by the tower's own int8 noise.
-    On-chip timing accept/reject: tools/int8_dft_probe.py."""
+def test_quantized_cosine_bf16_dft_frontend(variables):
+    """dft_int8=False (the --int8-dft-bf16 opt-out) keeps the bf16
+    front-end and must stay within the same cosine envelope — the two
+    front-ends differ only by ~8-bits-below-signal quantization noise
+    (tests/test_dsp.py pins the feature-level error), so the embedding
+    gate is dominated by the tower's own int8 noise either way."""
     q = QuantizedAudioEmbedder(None, MODEL, "short", variables=variables,
-                               dft_int8=True)
+                               dft_int8=False)
+    assert q.dft_int8 is False
     q.calibrate(_audio(4, seed=2))
     mn, mean = q.embedding_cosine(_audio(3, seed=3))
     assert mn > 0.98, (mn, mean)
@@ -100,6 +104,10 @@ def test_quantized_cosine_int8_dft_frontend(variables):
 
 def test_int8_dft_frontend_rejects_linear():
     variables = _variables("cnn_L3_orig")
+    # Auto default on a linear front-end resolves to the bf16 DFT…
+    q = QuantizedAudioEmbedder(None, "cnn_L3_orig", variables=variables)
+    assert q.dft_int8 is False
+    # …and forcing it on is a clear error, not silent fallback.
     with pytest.raises(ValueError, match="mel front-ends"):
         q = QuantizedAudioEmbedder(None, "cnn_L3_orig",
                                    variables=variables, dft_int8=True)
@@ -231,6 +239,10 @@ def test_int8_artifact_roundtrip(file_extractor, tmp_path):
     assert loaded.model_type == MODEL
     assert loaded.pooling_type == "short"
     assert loaded.calib_cosine == pytest.approx(ex.calib_cosine)
+    # The front-end the gate was measured with rides in the artifact
+    # (mel towers default to the int8 DFT stage since round 5).
+    assert ex.q.dft_int8 is True
+    assert loaded.q.dft_int8 is True
 
     w = _audio(3, seed=11)
     np.testing.assert_array_equal(
